@@ -1,0 +1,152 @@
+"""Frame schedules, windowed log-power features, and context stacking.
+
+The reference frames a continuous stream into 50 ms windows every 10 ms on an
+absolute-time grid: frame k ends at sample
+``round((first_frame_ms + k * shift_ms) / 1000 * sr)`` with Python/banker's
+rounding (``livenodes/FrameBuffer.py:177``), which at 1024 Hz gives the
+fractional 10.24-sample shift pattern [10,10,11,10,...].  Offline training
+uses the sibling grid ``start = int(round(k * shift * sr))``,
+``stop = int(round(start + win * sr))`` (``local/offline.py:99-109``).
+
+Schedules are computed host-side with exact Python float64 + round semantics
+and handed to the device as integer arrays; shift sequences are periodic
+(10 ms @ 1024 Hz has period 25 frames = exactly 256 samples), which the
+online step exploits to track frame positions in pure integer arithmetic.
+
+Features: ``log(sum(x^2) + 0.01)`` per window and channel
+(``livenodes/ECogFeatCalc.py:118-124``, ``local/offline.py:99-109``), then
+context stacking of 5 taps spaced 5 frames (200 ms lookback), flattened
+channel-major (``ECogFeatCalc.py:137-144``, ``offline.py:111-116``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Host-side schedules (exact reference arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def frame_size(frame_ms: float, sr: float) -> int:
+    """int((frame_ms / 1000) * sr) — FrameBuffer.py:27."""
+    return int((float(frame_ms) / 1000.0) * float(sr))
+
+
+def warm_start_prefill(frame_ms: float, shift_ms: float, sr: float) -> int:
+    """Zero-fill length for warm-started buffers — FrameBuffer.py:96."""
+    return frame_size(frame_ms, sr) - int((float(shift_ms) / 1000.0) * float(sr))
+
+
+def streaming_frame_ends(frame_ms: float, shift_ms: float, sr: float, total_len: int) -> np.ndarray:
+    """All frame end positions e_k <= total_len on the streaming grid.
+
+    e_0 = frame_size; e_k = round((first_ms + k*shift_ms)/1000 * sr) with
+    Python round (FrameBuffer.py:29,177).  ``total_len`` counts samples
+    *including* any warm-start prefill.
+    """
+    fsize = frame_size(frame_ms, sr)
+    first_ms = (float(fsize) / float(sr)) * 1000.0
+    ends = []
+    k = 0
+    e = fsize
+    while e <= total_len:
+        ends.append(e)
+        k += 1
+        e = round(((first_ms + k * float(shift_ms)) / 1000.0) * float(sr))
+    return np.asarray(ends, dtype=np.int64)
+
+
+def shift_table(frame_ms: float, shift_ms: float, sr: float) -> np.ndarray:
+    """Exact periodic diff table for the streaming grid of this buffer.
+
+    d[i] = e_{k+1} - e_k for k ≡ i (mod period); verified periodic.
+    """
+    from fractions import Fraction
+
+    shift_samples = Fraction(str(float(shift_ms))) * Fraction(str(float(sr))) / 1000
+    q = shift_samples.denominator
+    fsize = frame_size(frame_ms, sr)
+    first_ms = (float(fsize) / float(sr)) * 1000.0
+    n = 2 * q + 4
+    ends = [round(((first_ms + k * float(shift_ms)) / 1000.0) * float(sr)) for k in range(n + 1)]
+    d = np.diff(np.asarray(ends, dtype=np.int64))
+    period = q
+    # Guard against float quirks: verify observed periodicity.
+    if not np.array_equal(d[:period], d[period : 2 * period]):
+        period = len(d) // 2
+    return d[:period].astype(np.int32)
+
+
+def offline_window_starts(win_s: float, shift_s: float, sr: float, total_len: int) -> np.ndarray:
+    """Training grid (local/offline.py:100-106): start_k = int(round(k*shift*sr)),
+    window [start, int(round(start + win*sr))); count = floor((T - win*sr)/(shift*sr)) + 1."""
+    num = int(np.floor((total_len - win_s * sr) / (shift_s * sr))) + 1
+    starts = np.asarray([int(round((k * shift_s) * sr)) for k in range(max(num, 0))], dtype=np.int64)
+    return starts
+
+
+def offline_window_len(win_s: float, sr: float, starts: np.ndarray | None = None) -> int:
+    """stop - start on the training grid: int(round(start + win*sr)) - start.
+
+    The fractional part of win*sr is constant across integer starts (51.2 @
+    1024 Hz -> always +51), except exactly-.5 fractions where banker's
+    rounding depends on parity; we verify constancy against the actual
+    starts and reject the pathological case."""
+    if starts is None or len(starts) == 0:
+        return int(round(win_s * sr))
+    lens = {int(round(float(s) + win_s * sr)) - int(s) for s in starts}
+    if len(lens) != 1:
+        raise ValueError(f"non-constant offline window length: {sorted(lens)}")
+    return lens.pop()
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+
+def sliding_sumsq(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Sliding window sum of squares along axis 0.  x: (T, C) -> (T-win+1, C);
+    out[t] = sum(x[t:t+win]**2)."""
+    w = x * x
+    return jax.lax.reduce_window(
+        w, jnp.zeros((), w.dtype), jax.lax.add,
+        window_dimensions=(win, 1), window_strides=(1, 1), padding="VALID",
+    )
+
+
+def windowed_logpower(x: jnp.ndarray, ends: jnp.ndarray, win: int) -> jnp.ndarray:
+    """log(sum(x[e-win:e]**2, axis=0) + 0.01) for each frame end e.
+
+    x: (T, C); ends: (N,) int32 frame end positions (exclusive). -> (N, C)
+    """
+    sums = sliding_sumsq(x, win)  # (T-win+1, C); sums[s] covers [s, s+win)
+    starts = ends - win
+    gathered = jnp.take(sums, starts, axis=0)
+    return jnp.log(gathered + jnp.asarray(0.01, x.dtype))
+
+
+def stack_context(F: jnp.ndarray, model_order: int = 4, step_size: int = 5, zero_pad: bool = True) -> jnp.ndarray:
+    """Context stacking: out[j] = [F[j - m*step] for m = model_order..0] per
+    channel, channel-major flattened (taps oldest-first within a channel).
+
+    zero_pad=True  -> streaming warm start: j ranges over all rows, missing
+                      history is zeros (ECogFeatCalc stack buffer prefill).
+    zero_pad=False -> offline: j starts at model_order*step_size
+                      (offline.py:111-116).
+    Returns (N_out, (model_order+1) * C).
+    """
+    depth = model_order * step_size
+    if zero_pad:
+        Fp = jnp.concatenate([jnp.zeros((depth,) + F.shape[1:], F.dtype), F], axis=0)
+    else:
+        Fp = F
+    n_out = Fp.shape[0] - depth
+    taps = [Fp[m * step_size : m * step_size + n_out] for m in range(model_order + 1)]
+    stacked = jnp.stack(taps, axis=1)  # (N, taps, C) oldest-first
+    # channel-major flatten: (N, C, taps) -> (N, C*taps)
+    return jnp.transpose(stacked, (0, 2, 1)).reshape(n_out, -1)
