@@ -82,7 +82,14 @@ def _gl_iteration(wav: jnp.ndarray, spec: jnp.ndarray, ops: StreamingGLOps, phas
     xr, xi = ops.rdft.rfft(frames)        # (B, 2, K)
     if phase_bug:
         # Reference: z = spec * exp(angle(x)) — real-valued (GriffinLim.py:93).
-        zr = spec * jnp.exp(jnp.arctan2(xi, xr))
+        ang = jnp.arctan2(xi, xr)
+        # Bins 0 and N/2 are mathematically real: np.angle gives exactly 0 or
+        # +pi there; atan2 on a -0.0 roundoff imag would flip pi -> -pi and
+        # blow exp(angle) from e^pi to e^-pi.  Force the exact values.
+        pi = jnp.asarray(np.pi, ang.dtype)
+        edge = jnp.where(xr[..., [0, -1]] < 0, pi, 0.0)
+        ang = ang.at[..., 0].set(edge[..., 0]).at[..., -1].set(edge[..., 1])
+        zr = spec * jnp.exp(ang)
         zi = jnp.zeros_like(zr)
     else:
         r = jnp.sqrt(xr * xr + xi * xi)

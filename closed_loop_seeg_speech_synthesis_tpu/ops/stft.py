@@ -54,6 +54,12 @@ def make_rdft(n: int, dtype=jnp.float32) -> RDFT:
     ang = 2.0 * np.pi * nn * kk / n
     cos = np.cos(ang)  # (N, K)
     sin = np.sin(ang)
+    # Bins 0 and N/2 are exactly real for real input; kill the ~1e-13 sin
+    # residue so downstream angle computations see a true zero (np.fft.irfft
+    # likewise ignores the imaginary part at these bins).
+    sin[:, 0] = 0.0
+    if n % 2 == 0:
+        sin[:, -1] = 0.0
     w = np.full(k, 2.0)
     w[0] = 1.0
     if n % 2 == 0:
