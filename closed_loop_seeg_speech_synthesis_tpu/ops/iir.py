@@ -255,11 +255,14 @@ def zero_input_response(op: BlockedIIR, s0: jnp.ndarray, n: int):
     (``livenodes/FrameBuffer.py:94-98``): filtering ``n`` zeros from state s0
     emits the zero-input response into the ring buffer.
     """
-    if n > op.block:
-        raise ValueError(f"zero-fill length {n} exceeds block {op.block}")
-    y = op.Cpow[:n] @ s0  # (n, C)
-    sN = op.Apow[n] @ s0
-    return y, sN
+    parts = []
+    s = s0
+    for off in range(0, n, op.block):
+        m = min(op.block, n - off)
+        parts.append(op.Cpow[:m] @ s)
+        s = op.Apow[m] @ s
+    y = jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0,) + s0.shape[1:], s0.dtype)
+    return y, s
 
 
 def scale_zi_by_first_sample(zi_flat: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,376 @@
+"""The decoder as a statically-compiled frame program.
+
+Replaces the reference's push-callback DAG (``decode.py:152-183`` wiring
+LSL_Socket -> ChannelSelector -> ECogFeatCalc -> LDASynthesis ->
+Dequantization -> GriffinLimSynthesis -> sinks) with two code paths sharing
+the same parameters and numerics:
+
+* ``offline_decode`` — whole-session batch decode.  The reference's streaming
+  output is provably chunk-size invariant (filters carry state, frames sit on
+  an absolute-time grid), so file replay (``decode.py:71-96``) needs no
+  packet simulation at all: blocked state-space IIR -> sliding log-power ->
+  one LDA einsum -> batched Griffin-Lim.  This is the >1000x real-time path.
+
+* ``OnlineDecoder`` — one jitted ``step(carry, packet)`` whose carry holds
+  every piece of streaming state (filter states, sample history, feature
+  stack, Griffin-Lim OLA tails, low-pass state, integer frame schedule).
+  This is the <10 ms closed-loop path; it produces bit-identical output to
+  ``offline_decode`` given the same random key.
+
+Decoded spectrogram frames correspond to the reference's 'Spectrogram'
+Receiver taps (dequantized+smoothed logMels), audio to the int16 stream the
+reference feeds its soundcard sink.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import lda as lda_mod
+from ..ops import filter_design as fd
+from ..ops import framing, iir, quantization, smoothing
+from ..ops import griffinlim as gl
+
+
+MAX_FRAMES_PER_PACKET = 4  # ceil(packet / min frame shift) for 32@1024 & 64@2048
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Static decode-time configuration (reference decode.py:152-164)."""
+
+    sr: float                       # sEEG sampling rate (1024 / 2048)
+    n_channels: int                 # channels after bad-channel exclusion
+    packet_size: int = 32           # amplifier chunk (decode.py:115-116)
+    line_noise: int = 50
+    frame_len_ms: float = 50.0
+    frame_shift_ms: float = 10.0
+    model_order: int = 4
+    step_size: int = 5
+    n_mel: int = 40
+    gl_iterations: int = 8
+    gl_norm: float = 10.0
+    phase_bug: bool = True          # GriffinLim.py:93 exp(angle) quirk
+    audio_sr: int = 16000
+    iir_block: int = 256
+    dtype: Any = jnp.float32
+
+    @property
+    def win(self) -> int:
+        return framing.frame_size(self.frame_len_ms, self.sr)
+
+    @property
+    def prefill(self) -> int:
+        return framing.warm_start_prefill(self.frame_len_ms, self.frame_shift_ms, self.sr)
+
+    @property
+    def n_stacked(self) -> int:
+        return (self.model_order + 1) * self.n_channels
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DecoderParams:
+    """Device-resident decoder parameters (everything trained or designed)."""
+
+    filt_ops: Tuple[iir.BlockedIIR, ...]       # high-gamma chain, session-block length
+    filt_ops_pkt: Tuple[iir.BlockedIIR, ...]   # same systems at packet-block length
+    filt_zi: Tuple[jnp.ndarray, ...]           # flat sosfilt_zi per filter (S,)
+    select: jnp.ndarray                        # (150,) int32 feature indices
+    lda: lda_mod.LDAParams
+    medians: jnp.ndarray                       # (n_mel, n_intervals)
+    gauss_kernel: jnp.ndarray                  # (5,)
+    gl_ops: gl.StreamingGLOps
+    lowpass_op: iir.BlockedIIR                 # vocoder output low-pass (block=160)
+    shift_table: jnp.ndarray                   # (period,) int32 frame shifts
+
+    def tree_flatten(self):
+        return (
+            (self.filt_ops, self.filt_ops_pkt, self.filt_zi, self.select, self.lda,
+             self.medians, self.gauss_kernel, self.gl_ops, self.lowpass_op, self.shift_table),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_decoder_params(
+    cfg: DecoderConfig,
+    lda_params: lda_mod.LDAParams,
+    medians: np.ndarray,
+    select: np.ndarray,
+) -> DecoderParams:
+    """Design-time construction (host, float64) of all device operators."""
+    dt = cfg.dtype
+    chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
+    systems = [iir.sos_to_statespace(s) for s in chain]
+    filt_ops = tuple(iir.make_blocked_iir(ss, cfg.iir_block, dt) for ss in systems)
+    filt_ops_pkt = tuple(iir.make_blocked_iir(ss, cfg.packet_size, dt) for ss in systems)
+    filt_zi = tuple(jnp.asarray(fd.sosfilt_zi(s).reshape(-1), dt) for s in chain)
+    lowpass_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos(cfg.audio_sr, cfg.frame_shift_ms))
+    lowpass_op = iir.make_blocked_iir(lowpass_ss, 160, dt)
+    return DecoderParams(
+        filt_ops=filt_ops,
+        filt_ops_pkt=filt_ops_pkt,
+        filt_zi=filt_zi,
+        select=jnp.asarray(np.asarray(select), jnp.int32),
+        lda=jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params),
+        medians=jnp.asarray(medians, dt),
+        gauss_kernel=jnp.asarray(smoothing.gaussian_kernel1d(0.5), dt),
+        gl_ops=gl.make_streaming_gl_ops(cfg.n_mel, float(cfg.audio_sr), dt),
+        lowpass_op=lowpass_op,
+        shift_table=jnp.asarray(framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared stages
+# ---------------------------------------------------------------------------
+
+
+def _streaming_filter_chain(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndarray, packet: bool = False):
+    """Raw eeg (T, C) -> the framed signal (prefill + filtered, (T+prefill, C))
+    plus the final filter states.
+
+    Reproduces the streaming warm-start rules (FrameBuffer.py:86-98): filters
+    1..n-1 cold-start with zi scaled by their first input sample; the last
+    (framing) filter warm-starts from unscaled zi after filtering
+    ``prefill`` zeros whose outputs are kept as the frame buffer's prefix.
+    """
+    ops = params.filt_ops_pkt if packet else params.filt_ops
+    x = eeg.astype(cfg.dtype)
+    states = []
+    for op, zi in zip(ops[:-1], params.filt_zi[:-1]):
+        s0 = zi[:, None] * x[0][None, :]
+        x, sT = iir.iir_blocked(op, x, s0)
+        states.append(sT)
+    op_last, zi_last = ops[-1], params.filt_zi[-1]
+    s0 = zi_last[:, None] * jnp.ones((1, eeg.shape[1]), cfg.dtype)
+    zf, s_after_fill = iir.zero_input_response(op_last, s0, cfg.prefill)
+    y, sT = iir.iir_blocked(op_last, x, s_after_fill)
+    states.append(sT)
+    return jnp.concatenate([zf, y], axis=0), states
+
+
+def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
+    """Stacked features (N, 5C) -> dequantized+smoothed logMel frames (N, n_mel).
+
+    LDASynthesis.py:19-28 (select + per-bin predict) and
+    Dequantization.py:15-17 (median lookup + gaussian sigma 0.5)."""
+    feats = jnp.take(stacked, params.select, axis=1)
+    labels = lda_mod.predict(params.lda, feats)            # (N, n_mel)
+    deq = quantization.dequantize(labels, params.medians)  # (N, n_mel)
+    return smoothing.gaussian_smooth(deq, params.gauss_kernel)
+
+
+# ---------------------------------------------------------------------------
+# Offline (batch) decode — the replay / evaluation path
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndarray,
+                        ends: jnp.ndarray, rand_init: jnp.ndarray):
+    s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
+    F = framing.windowed_logpower(s_cat, ends, cfg.win)
+    stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
+    mel_frames = _frames_to_mel(params, stacked)
+
+    re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,
+                                cfg.gl_iterations, cfg.phase_bug)
+    raw = gl.overlap_add_stream(re, params.gl_ops)
+    lp, _ = iir.iir_blocked(params.lowpass_op, raw[:, None],
+                            jnp.zeros((params.lowpass_op.dim, 1), cfg.dtype))
+    audio = gl.to_int16(lp[:, 0], cfg.gl_norm)
+    return mel_frames, audio
+
+
+def offline_decode(params: DecoderParams, cfg: DecoderConfig, eeg: np.ndarray,
+                   key: Optional[jax.Array] = None,
+                   rand_init: Optional[np.ndarray] = None):
+    """Decode a full recorded session.
+
+    eeg: (T, n_channels) raw sEEG (bad channels already excluded).
+    Returns (spectrogram (N, n_mel), audio int16 ((N-1)*160,)).
+    Equivalent to the reference's file-replay decode (decode.py:71-96).
+    """
+    T = eeg.shape[0]
+    ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr, T + cfg.prefill)
+    n_frames = len(ends)
+    if rand_init is None:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        rand_init = gl.default_rand_init(key, n_frames - 1, 0, cfg.dtype)
+    spec, audio = _offline_decode_jit(params, cfg, jnp.asarray(eeg, cfg.dtype),
+                                      jnp.asarray(ends, jnp.int32), jnp.asarray(rand_init, cfg.dtype))
+    return spec, audio
+
+
+# ---------------------------------------------------------------------------
+# Online step — the closed-loop path
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class OnlineCarry:
+    """All streaming state of the decoder, donated across steps."""
+
+    filt_states: Tuple[jnp.ndarray, ...]  # per-filter (S, C)
+    started: jnp.ndarray                  # bool — first packet initializes zi scaling
+    hist: jnp.ndarray                     # (win, C) last framed-signal samples
+    sample_count: jnp.ndarray             # int32, includes prefill
+    frame_k: jnp.ndarray                  # int32 frames emitted so far
+    next_e: jnp.ndarray                   # int32 next frame end position
+    stack_ring: jnp.ndarray               # (stack_len, C) chronological
+    prev_mel: jnp.ndarray                 # (n_mel,)
+    ola_acc: jnp.ndarray                  # (2, 160) pending OLA contributions
+    ola_wacc: jnp.ndarray                 # (2, 160)
+    lowpass_state: jnp.ndarray            # (S_lp, 1)
+
+    def tree_flatten(self):
+        return (
+            (self.filt_states, self.started, self.hist, self.sample_count, self.frame_k,
+             self.next_e, self.stack_ring, self.prev_mel, self.ola_acc, self.ola_wacc,
+             self.lowpass_state),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_online_carry(params: DecoderParams, cfg: DecoderConfig) -> OnlineCarry:
+    dt = cfg.dtype
+    C = cfg.n_channels
+    win = cfg.win
+    stack_len = cfg.model_order * cfg.step_size + 1
+    # Last filter warm-starts immediately; its prefill zero-response forms the
+    # initial history (the frame buffer's zero-fill, FrameBuffer.py:94-98).
+    op_last, zi_last = params.filt_ops_pkt[-1], params.filt_zi[-1]
+    s_last0 = zi_last[:, None] * jnp.ones((1, C), dt)
+    zf, s_last = iir.zero_input_response(op_last, s_last0, cfg.prefill)
+    hist = jnp.zeros((win, C), dt).at[win - cfg.prefill :, :].set(zf)
+    filt_states = tuple(jnp.zeros((op.dim, C), dt) for op in params.filt_ops_pkt[:-1]) + (s_last,)
+    return OnlineCarry(
+        filt_states=filt_states,
+        started=jnp.asarray(False),
+        hist=hist,
+        sample_count=jnp.asarray(cfg.prefill, jnp.int32),
+        frame_k=jnp.asarray(0, jnp.int32),
+        next_e=jnp.asarray(win, jnp.int32),
+        stack_ring=jnp.zeros((stack_len, C), dt),
+        prev_mel=jnp.zeros((cfg.n_mel,), dt),
+        ola_acc=jnp.zeros((2, gl.HOP), dt),
+        ola_wacc=jnp.zeros((2, gl.HOP), dt),
+        lowpass_state=jnp.zeros((params.lowpass_op.dim, 1), dt),
+    )
+
+
+def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
+    """Returns a jitted ``step(carry, packet) -> (carry, outputs)``.
+
+    packet: (packet_size, n_channels) raw sEEG chunk.
+    outputs: dict with 'spec' (4, n_mel), 'spec_valid' (4,),
+             'audio' (4, 160) int16, 'audio_valid' (4,).
+    """
+    dt = cfg.dtype
+    win = cfg.win
+    P = cfg.packet_size
+    period = int(params.shift_table.shape[0])
+    w_ola = params.gl_ops.ola_window
+    taps = np.arange(0, cfg.model_order * cfg.step_size + 1, cfg.step_size)
+
+    def step(carry: OnlineCarry, packet: jnp.ndarray):
+        x = packet.astype(dt)
+        # --- filter chain (cold-start zi scaling on the first packet) ---
+        states = []
+        y = x
+        for i, op in enumerate(params.filt_ops_pkt[:-1]):
+            s0 = jnp.where(carry.started, carry.filt_states[i], params.filt_zi[i][:, None] * y[0][None, :])
+            y, sT = iir.iir_blocked(op, y, s0)
+            states.append(sT)
+        y, s_last = iir.iir_blocked(params.filt_ops_pkt[-1], y, carry.filt_states[-1])
+        states.append(s_last)
+
+        buf = jnp.concatenate([carry.hist, y], axis=0)  # (win + P, C)
+        cnt = carry.sample_count
+
+        out_spec = jnp.zeros((MAX_FRAMES_PER_PACKET, cfg.n_mel), dt)
+        out_audio = jnp.zeros((MAX_FRAMES_PER_PACKET, gl.HOP), jnp.int16)
+        spec_valid = jnp.zeros((MAX_FRAMES_PER_PACKET,), bool)
+        audio_valid = jnp.zeros((MAX_FRAMES_PER_PACKET,), bool)
+
+        frame_k = carry.frame_k
+        next_e = carry.next_e
+        stack_ring = carry.stack_ring
+        prev_mel = carry.prev_mel
+        ola_acc, ola_wacc = carry.ola_acc, carry.ola_wacc
+        lp_state = carry.lowpass_state
+
+        for slot in range(MAX_FRAMES_PER_PACKET):
+            valid = next_e <= cnt + P
+            # window [next_e - win, next_e): buf[p] holds sample index (cnt - win) + p
+            start = jnp.clip(next_e - cnt, 0, P)
+            window = jax.lax.dynamic_slice(buf, (start, jnp.zeros((), start.dtype)), (win, buf.shape[1]))
+            f_row = jnp.log(jnp.sum(window * window, axis=0) + jnp.asarray(0.01, dt))
+
+            new_ring = jnp.concatenate([stack_ring[1:], f_row[None, :]], axis=0)
+            stack_ring = jnp.where(valid, new_ring, stack_ring)
+
+            stacked = stack_ring[taps].T.reshape(-1)  # channel-major, oldest first
+            mel_frame = _frames_to_mel(params, stacked[None, :])[0]
+            out_spec = out_spec.at[slot].set(mel_frame)
+            spec_valid = spec_valid.at[slot].set(valid)
+
+            # --- vocoder: needs two frames (GriffinLim.py:131) ---
+            has_block = jnp.logical_and(valid, frame_k >= 1)
+            block_idx = jnp.maximum(frame_k - 1, 0)
+            rand = jax.random.uniform(jax.random.fold_in(key, block_idx), (gl.BLOCK_SAMPLES,), dt)
+            logmels = jnp.stack([prev_mel, mel_frame])  # (2, n_mel)
+            re = gl.streaming_gl_blocks(logmels, rand[None, :], params.gl_ops,
+                                        cfg.gl_iterations, cfg.phase_bug)[0]  # (480,)
+            acc = ola_acc[0] + re[: gl.HOP]
+            wsum = ola_wacc[0] + w_ola[: gl.HOP]
+            chunk = jnp.where(wsum != 0, acc / jnp.where(wsum != 0, wsum, 1.0), acc)
+            lp, lp_state_new = iir.iir_blocked(params.lowpass_op, chunk[:, None], lp_state)
+            audio_chunk = gl.to_int16(lp[:, 0], cfg.gl_norm)
+            out_audio = out_audio.at[slot].set(audio_chunk)
+            audio_valid = audio_valid.at[slot].set(has_block)
+
+            new_acc = jnp.stack([ola_acc[1] + re[gl.HOP : 2 * gl.HOP], re[2 * gl.HOP :]])
+            new_wacc = jnp.stack([ola_wacc[1] + w_ola[gl.HOP : 2 * gl.HOP], w_ola[2 * gl.HOP :]])
+            ola_acc = jnp.where(has_block, new_acc, ola_acc)
+            ola_wacc = jnp.where(has_block, new_wacc, ola_wacc)
+            lp_state = jnp.where(has_block, lp_state_new, lp_state)
+            prev_mel = jnp.where(valid, mel_frame, prev_mel)
+
+            next_e = jnp.where(valid, next_e + params.shift_table[frame_k % period], next_e)
+            frame_k = jnp.where(valid, frame_k + 1, frame_k)
+
+        new_carry = OnlineCarry(
+            filt_states=tuple(states),
+            started=jnp.asarray(True),
+            hist=buf[-win:],
+            sample_count=cnt + P,
+            frame_k=frame_k,
+            next_e=next_e,
+            stack_ring=stack_ring,
+            prev_mel=prev_mel,
+            ola_acc=ola_acc,
+            ola_wacc=ola_wacc,
+            lowpass_state=lp_state,
+        )
+        outputs = {"spec": out_spec, "spec_valid": spec_valid,
+                   "audio": out_audio, "audio_valid": audio_valid}
+        return new_carry, outputs
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,123 @@
+"""Offline training pipeline (twin of reference ``train.py`` + ``local/offline.py``).
+
+The offline feature path intentionally differs from the streaming one at the
+boundary (reference design): filters warm-start the same way, but the
+framing grid starts at sample 0 of the *filtered data* (no zero-fill prefix
+kept, ``offline.py:99-109``) and context stacking drops the first
+``model_order*step_size`` rows instead of zero-padding
+(``offline.py:111-116``).  The ``y_train[20:-4]`` alignment crop
+(train.py:144-147) then lines the audio spectrogram up with the stacked
+features.  Models trained here drop into the streaming decoder unchanged —
+the reference's core online/offline contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as _sig
+
+from ..models import lda as lda_mod
+from ..models import selection
+from ..ops import filter_design as fd
+from ..ops import framing, iir, quantization
+from ..ops.spectrogram import compute_spectrogram
+
+
+def offline_high_gamma(eeg: jnp.ndarray, sr: float, line_noise: int = 50,
+                       window_length: float = 0.05, window_shift: float = 0.01,
+                       iir_block: int = 256, dtype=jnp.float64) -> jnp.ndarray:
+    """Filtered broadband signal matching ``offline.py:31-97``.
+
+    hg/fh(first harmonic for EU) cold-start with zi scaled by their first
+    input sample; the last filter's state is advanced over
+    ``win - shift`` zeros first (warm start), outputs discarded.
+    """
+    chain = fd.high_gamma_bank(sr, line_noise)
+    systems = [iir.sos_to_statespace(s) for s in chain]
+    ops = [iir.make_blocked_iir(ss, iir_block, dtype) for ss in systems]
+    zis = [jnp.asarray(fd.sosfilt_zi(s).reshape(-1), dtype) for s in chain]
+    prefill = int(window_length * sr) - int(window_shift * sr)
+
+    x = eeg.astype(dtype)
+    for op, zi in zip(ops[:-1], zis[:-1]):
+        s0 = zi[:, None] * x[0][None, :]
+        x, _ = iir.iir_blocked(op, x, s0)
+    s0 = zis[-1][:, None] * jnp.ones((1, x.shape[1]), dtype)
+    _, s_warm = iir.zero_input_response(ops[-1], s0, prefill)
+    y, _ = iir.iir_blocked(ops[-1], x, s_warm)
+    return y
+
+
+def offline_features(eeg: np.ndarray, sr: float, window_length: float = 0.05,
+                     window_shift: float = 0.01, line_noise: int = 50,
+                     model_order: int = 4, step_size: int = 5,
+                     skip_stacking: bool = False, dtype=jnp.float64) -> jnp.ndarray:
+    """Twin of ``offline.py:12-128`` (herff2016_b): (T, C) -> (N, (mo+1)*C)."""
+    y = offline_high_gamma(jnp.asarray(eeg), sr, line_noise, window_length, window_shift, dtype=dtype)
+    starts = framing.offline_window_starts(window_length, window_shift, sr, eeg.shape[0])
+    wlen = framing.offline_window_len(window_length, sr, starts)
+    ends = jnp.asarray(starts + wlen, jnp.int32)
+    F = framing.windowed_logpower(y, ends, wlen)
+    if skip_stacking:
+        return F
+    return framing.stack_context(F, model_order, step_size, zero_pad=False)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    x_train: np.ndarray          # (n, 150) selected features actually fitted
+    y_train: np.ndarray          # (n, n_mel) quantized labels
+    medians: np.ndarray          # (n_mel, n_intervals)
+    borders: np.ndarray
+    lda: lda_mod.LDAParams
+    select: np.ndarray           # (150,) feature indices
+    missing: dict                # bin -> missing interval indices (train.py:86-91)
+
+
+def train(eeg: np.ndarray, audio: np.ndarray, eeg_sr: float, audio_sr: float,
+          bad_channels, nb_mel_bins: int = 40, nb_intervals: int = 9,
+          nb_feats: int = 150, line_noise: int = 50, dtype=jnp.float64) -> TrainResult:
+    """Full training (reference train.py:132-168).
+
+    eeg: (T, C_all) raw; audio: (T_a,) in [-1, 1] float; bad_channels:
+    indices to exclude.  Audio is decimated by 3 to 16 kHz exactly as the
+    reference does (train.py:125, scipy.signal.decimate defaults).
+    """
+    bad_channels = np.asarray(bad_channels, int)
+    if len(bad_channels) > 0:
+        mask = np.ones(eeg.shape[1], bool)
+        mask[bad_channels] = False
+        eeg = eeg[:, mask]
+
+    x_train = np.asarray(offline_features(eeg, eeg_sr, 0.05, 0.01, line_noise, dtype=dtype))
+
+    audio16 = _sig.decimate(np.asarray(audio, np.float64), 3)
+    y_spec = np.asarray(compute_spectrogram(jnp.asarray(audio16), 16000, 0.016, 0.01, nb_mel_bins))
+    y_spec = y_spec[20:-4]  # context + window-length alignment crop (train.py:144-147)
+
+    medians, borders = quantization.compute_borders_logistic(jnp.asarray(y_spec), nb_intervals)
+    q_spec = np.asarray(quantization.quantize(jnp.asarray(y_spec), borders)).astype(int)
+
+    missing = {}
+    for b in range(nb_mel_bins):
+        diff = np.setdiff1d(np.arange(nb_intervals), q_spec[:, b])
+        if diff.size:
+            missing[b] = diff.tolist()
+
+    select = selection.select_features(jnp.asarray(x_train), jnp.asarray(y_spec), nb_feats)
+    x_sel = x_train[:, select]
+
+    n = min(len(x_sel), len(q_spec))
+    x_sel, q_spec = x_sel[:n], q_spec[:n]
+    lda_params = lda_mod.fit(jnp.asarray(x_sel), q_spec, nb_intervals)
+    return TrainResult(
+        x_train=x_sel, y_train=q_spec,
+        medians=np.asarray(medians), borders=np.asarray(borders),
+        lda=lda_params, select=np.asarray(select), missing=missing,
+    )
