@@ -1,0 +1,78 @@
+"""Headline benchmark: offline replay throughput (xRT) on one TPU chip.
+
+BASELINE.md north star: decode a recorded session at >1000x real-time
+(the reference replays through its node graph in a single Python process at
+roughly real-time scale).  Setup mirrors the reference's operating point:
+1024 Hz sEEG, 128 channels, 10 ms frames, 40 mel bins, 8 Griffin-Lim
+iterations, norm factor 10 (decode.py:115-164, config/experiment.ini).
+
+Prints one JSON line: metric / value / unit / vs_baseline (value / 1000).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod
+    from closed_loop_seeg_speech_synthesis_tpu.ops import framing
+    from closed_loop_seeg_speech_synthesis_tpu.ops import griffinlim as gl
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    sr = 1024.0
+    n_channels = 128
+    duration_s = 1800.0  # 30-minute session per decode call
+    T = int(sr * duration_s)
+
+    rng = np.random.RandomState(0)
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=n_channels, packet_size=32, dtype=jnp.float32)
+    lda_params = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, 150) * 0.1, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool),
+    )
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    select = rng.permutation(5 * n_channels)[:150]
+    params = pipeline.build_decoder_params(cfg, lda_params, medians, select)
+
+    ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, sr, T + cfg.prefill)
+    n_frames = len(ends)
+    ends_d = jax.device_put(jnp.asarray(ends, jnp.int32))
+    rand = gl.default_rand_init(jax.random.PRNGKey(0), n_frames - 1, 0, jnp.float32)
+
+    # Synthesize sessions on-device (no host->device transfer in the loop);
+    # distinct inputs per run so no layer can short-circuit repeated calls.
+    make_eeg = jax.jit(lambda k: jax.random.normal(k, (T, n_channels), jnp.float32))
+    eegs = [make_eeg(jax.random.PRNGKey(i)) for i in range(3)]
+    jax.block_until_ready((eegs, ends_d, rand))
+
+    def run(e):
+        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand)
+        # Force a device round-trip: the hosted TPU relay acks block_until_ready
+        # early in some paths, so timing must gate on fetched values.
+        return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
+
+    run(eegs[0])  # compile + warmup
+    times = []
+    for e in eegs:
+        t0 = time.perf_counter()
+        run(e)
+        times.append(time.perf_counter() - t0)
+    wall = sorted(times)[1]  # median of 3
+    xrt = duration_s / wall
+
+    print(json.dumps({
+        "metric": "offline_replay_xrt_128ch",
+        "value": round(xrt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
