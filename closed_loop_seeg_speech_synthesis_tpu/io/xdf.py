@@ -1,0 +1,233 @@
+"""XDF (Extensible Data Format) importer — fresh implementation from the
+public XDF specification (https://github.com/sccn/xdf/wiki/Specifications).
+
+Replaces the reference's vendored pyxdf 1.15 (``local/xdf.py``, noted in its
+README).  Returns the same access shape the loaders rely on
+(``local/data_loader.py:39-110``): a list of stream dicts with
+``info['name'][0]``, ``info['type'][0]``, ``info['nominal_srate'][0]``,
+``info['created_at'][0]``, ``info['desc'][0]['channels'][0]['channel']``,
+``time_series`` (ndarray or list-of-lists for string streams) and
+``time_stamps``.
+
+Includes clock synchronization from ClockOffset chunks (linear fit of offset
+vs. time, falling back to the median for short recordings) and optional
+timestamp de-jittering (per-segment linear fit of timestamp vs. sample index
+for regular-rate streams).
+
+Chunk layout: [1-byte length-of-length][length LE][uint16 tag][content]:
+tag 1 FileHeader (XML), 2 StreamHeader (uint32 id + XML), 3 Samples,
+4 ClockOffset (id + 2 doubles), 5 Boundary (16-byte UUID), 6 StreamFooter.
+Sample chunks: id, varlen sample count, then per sample a timestamp-bytes
+flag (8 -> double present, 0 -> deduced) and channel values.
+"""
+
+from __future__ import annotations
+
+import struct
+import xml.etree.ElementTree as ET
+from collections import defaultdict
+
+import numpy as np
+
+_DTYPES = {
+    "float32": ("<f4", 4),
+    "double64": ("<f8", 8),
+    "int8": ("<i1", 1),
+    "int16": ("<i2", 2),
+    "int32": ("<i4", 4),
+    "int64": ("<i8", 8),
+}
+
+
+def _xml_to_dict(elem):
+    """ElementTree element -> pyxdf-style nested dict-of-lists."""
+    out = defaultdict(list)
+    for child in elem:
+        if len(child):
+            out[child.tag].append(_xml_to_dict(child))
+        else:
+            out[child.tag].append(child.text)
+    return dict(out)
+
+
+def _read_varlen(buf, pos):
+    nbytes = buf[pos]
+    pos += 1
+    if nbytes == 1:
+        return buf[pos], pos + 1
+    if nbytes == 4:
+        return struct.unpack_from("<I", buf, pos)[0], pos + 4
+    if nbytes == 8:
+        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
+    raise ValueError(f"invalid varlen size descriptor {nbytes}")
+
+
+class _Stream:
+    def __init__(self, stream_id, header_xml):
+        self.stream_id = stream_id
+        root = ET.fromstring(header_xml)
+        self.info = _xml_to_dict(root)
+        self.n_channels = int(self.info["channel_count"][0])
+        self.srate = float(self.info["nominal_srate"][0] or 0.0)
+        self.fmt = self.info["channel_format"][0]
+        self.chunks = []        # list of (timestamps ndarray, values)
+        self.clock_times = []
+        self.clock_values = []
+        self.last_ts = 0.0
+
+    @property
+    def tdelta(self):
+        return 1.0 / self.srate if self.srate > 0 else 0.0
+
+
+def _parse_samples(buf, stream: _Stream):
+    pos = 0
+    n, pos = _read_varlen(buf, pos)
+    C = stream.n_channels
+    ts = np.empty(n, np.float64)
+    if stream.fmt == "string":
+        values = []
+        for i in range(n):
+            tsb = buf[pos]
+            pos += 1
+            if tsb == 8:
+                t = struct.unpack_from("<d", buf, pos)[0]
+                pos += 8
+            else:
+                t = stream.last_ts + stream.tdelta
+            stream.last_ts = t
+            ts[i] = t
+            row = []
+            for _ in range(C):
+                ln, pos = _read_varlen(buf, pos)
+                row.append(buf[pos : pos + ln].decode("utf-8", "replace"))
+                pos += ln
+            values.append(row)
+        return ts, values
+
+    np_dtype, itemsize = _DTYPES[stream.fmt]
+    row_bytes = C * itemsize
+    values = np.empty((n, C), dtype=np_dtype)
+    i = 0
+    while i < n:
+        tsb = buf[pos]
+        pos += 1
+        if tsb == 8:
+            t = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        else:
+            t = stream.last_ts + stream.tdelta
+        stream.last_ts = t
+        ts[i] = t
+        # fast path: run of samples without explicit timestamps
+        j = i + 1
+        run_start = pos + row_bytes
+        while j < n and run_start < len(buf) and buf[run_start] == 0:
+            run_start += 1 + row_bytes
+            j += 1
+        count = j - i
+        end = pos + row_bytes
+        values[i] = np.frombuffer(buf, np_dtype, C, pos)
+        if count > 1:
+            block = np.frombuffer(buf, np.uint8, (count - 1) * (1 + row_bytes), end)
+            block = block.reshape(count - 1, 1 + row_bytes)[:, 1:].copy()
+            values[i + 1 : j] = block.view(np_dtype).reshape(count - 1, C)
+            ts[i + 1 : j] = t + stream.tdelta * np.arange(1, count)
+            stream.last_ts = ts[j - 1]
+            pos = end + (count - 1) * (1 + row_bytes)
+        else:
+            pos = end
+        i = j
+    return ts, values
+
+
+def _apply_clock_sync(stream: _Stream, ts: np.ndarray) -> np.ndarray:
+    if not stream.clock_times:
+        return ts
+    ct = np.asarray(stream.clock_times)
+    cv = np.asarray(stream.clock_values)
+    if len(ct) < 2 or np.ptp(ct) == 0:
+        return ts + np.median(cv)
+    # trimmed least squares (drop worst 20% residuals once) — robust enough
+    # for the monotone drift LSL clock offsets exhibit
+    A = np.stack([np.ones_like(ct), ct - ct[0]], axis=1)
+    coef, *_ = np.linalg.lstsq(A, cv, rcond=None)
+    resid = np.abs(A @ coef - cv)
+    keep = resid <= np.quantile(resid, 0.8)
+    if keep.sum() >= 2:
+        coef, *_ = np.linalg.lstsq(A[keep], cv[keep], rcond=None)
+    return ts + coef[0] + coef[1] * (ts - ct[0])
+
+
+def _dejitter(ts: np.ndarray, srate: float) -> np.ndarray:
+    if srate <= 0 or len(ts) < 2:
+        return ts
+    # split at gaps > 1 s or 500 sample intervals (spec recommendation)
+    gaps = np.where(np.diff(ts) > max(1.0, 500 * (1.0 / srate)))[0] + 1
+    out = ts.copy()
+    for seg in np.split(np.arange(len(ts)), gaps):
+        if len(seg) < 2:
+            continue
+        idx = seg - seg[0]
+        A = np.stack([np.ones(len(seg)), idx], axis=1)
+        coef, *_ = np.linalg.lstsq(A, ts[seg], rcond=None)
+        out[seg] = A @ coef
+    return out
+
+
+def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True):
+    """Parse an XDF file.  Returns (streams, fileheader) like pyxdf."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    if data[:4] != b"XDF:":
+        raise ValueError(f"{filename} is not an XDF file")
+    pos = 4
+    fileheader = None
+    streams: dict[int, _Stream] = {}
+
+    while pos < len(data):
+        length, pos = _read_varlen(data, pos)
+        tag = struct.unpack_from("<H", data, pos)[0]
+        content = data[pos + 2 : pos + length]
+        pos += length
+        if tag == 1:
+            fileheader = _xml_to_dict(ET.fromstring(content.decode("utf-8", "replace")))
+        elif tag == 2:
+            sid = struct.unpack_from("<I", content, 0)[0]
+            streams[sid] = _Stream(sid, content[4:].decode("utf-8", "replace"))
+        elif tag == 3:
+            sid = struct.unpack_from("<I", content, 0)[0]
+            st = streams[sid]
+            st.chunks.append(_parse_samples(content[4:], st))
+        elif tag == 4:
+            sid = struct.unpack_from("<I", content, 0)[0]
+            t, v = struct.unpack_from("<dd", content, 4)
+            if sid in streams:
+                streams[sid].clock_times.append(t)
+                streams[sid].clock_values.append(v)
+        elif tag == 6:
+            sid = struct.unpack_from("<I", content, 0)[0]
+            if sid in streams:
+                streams[sid].info.setdefault("footer", []).append(
+                    _xml_to_dict(ET.fromstring(content[4:].decode("utf-8", "replace")))
+                )
+        # tag 5 (boundary) and unknown tags: skip
+
+    out = []
+    for st in streams.values():
+        if st.chunks:
+            ts = np.concatenate([c[0] for c in st.chunks])
+            if st.fmt == "string":
+                series = [row for c in st.chunks for row in c[1]]
+            else:
+                series = np.concatenate([c[1] for c in st.chunks], axis=0)
+        else:
+            ts = np.zeros(0)
+            series = [] if st.fmt == "string" else np.zeros((0, st.n_channels))
+        if dejitter_timestamps:
+            ts = _dejitter(ts, st.srate)
+        if synchronize_clocks:
+            ts = _apply_clock_sync(st, ts)
+        stream_dict = dict(st.info)
+        out.append({"info": stream_dict, "time_series": series, "time_stamps": ts})
+    return out, fileheader

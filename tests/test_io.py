@@ -1,0 +1,156 @@
+"""IO: XDF parser against a spec-conformant writer; HDF5 + session accessors."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from closed_loop_seeg_speech_synthesis_tpu.io import loaders, session as session_mod, utils, xdf
+
+
+# ------------------------------ XDF writer --------------------------------
+
+
+def _varlen(n):
+    if n < 256:
+        return bytes([1, n])
+    return bytes([4]) + struct.pack("<I", n)
+
+
+def _chunk(tag, content):
+    body = struct.pack("<H", tag) + content
+    return _varlen(len(body)) + body
+
+
+def _stream_header(sid, name, stype, channels, srate, fmt, ch_labels=None):
+    ch_xml = ""
+    if ch_labels:
+        ch_xml = "<desc><channels>" + "".join(f"<channel><label>{c}</label></channel>" for c in ch_labels) + "</channels></desc>"
+    xml = (f"<info><name>{name}</name><type>{stype}</type>"
+           f"<channel_count>{channels}</channel_count>"
+           f"<nominal_srate>{srate}</nominal_srate>"
+           f"<channel_format>{fmt}</channel_format>"
+           f"<created_at>0.0</created_at>{ch_xml}</info>")
+    return _chunk(2, struct.pack("<I", sid) + xml.encode())
+
+
+def _numeric_samples(sid, data, t0, srate, ts_every=64):
+    """Sample chunk: explicit timestamp every ts_every samples, deduced rest."""
+    out = struct.pack("<I", sid) + _varlen(len(data))
+    parts = [out]
+    for i, row in enumerate(data):
+        if i % ts_every == 0:
+            parts.append(bytes([8]) + struct.pack("<d", t0 + i / srate))
+        else:
+            parts.append(bytes([0]))
+        parts.append(np.asarray(row, "<f4").tobytes())
+    return _chunk(3, b"".join(parts))
+
+
+def _string_samples(sid, items):
+    parts = [struct.pack("<I", sid), _varlen(len(items))]
+    for t, s in items:
+        parts.append(bytes([8]) + struct.pack("<d", t))
+        b = s.encode()
+        parts.append(_varlen(len(b)) + b)
+    return _chunk(3, b"".join(parts))
+
+
+def write_test_xdf(path, eeg, eeg_sr, audio, audio_sr, markers, ch_labels):
+    blob = b"XDF:"
+    blob += _chunk(1, b"<info><version>1.0</version></info>")
+    blob += _stream_header(1, "Micromed", "EEG", eeg.shape[1], eeg_sr, "float32", ch_labels)
+    blob += _stream_header(2, "AudioCaptureWin", "Audio", 1, audio_sr, "float32")
+    blob += _stream_header(3, "SingleWordsMarkerStream", "Markers", 1, 0, "string")
+    # clock offsets for stream 1 (constant small offset)
+    for t in (0.0, 5.0, 10.0):
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 0.25))
+    half = len(eeg) // 2
+    blob += _numeric_samples(1, eeg[:half], 100.0, eeg_sr)
+    blob += _numeric_samples(1, eeg[half:], 100.0 + half / eeg_sr, eeg_sr)
+    blob += _numeric_samples(2, audio[:, None], 100.0, audio_sr, ts_every=256)
+    blob += _string_samples(3, markers)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+@pytest.fixture
+def xdf_file(tmp_path, rng):
+    eeg_sr, audio_sr = 1024, 48000
+    dur = 3.0
+    eeg = rng.randn(int(eeg_sr * dur), 4).astype(np.float32)
+    audio = (0.1 * rng.randn(int(audio_sr * dur))).astype(np.float32)
+    markers = [(100.5, "experimentStarted"), (100.8, "start;hallo"),
+               (102.0, "end;hallo"), (102.5, "experimentEnded")]
+    labels = ["A1", "A2", "B1", "B2"]
+    path = str(tmp_path / "rec.xdf")
+    write_test_xdf(path, eeg, eeg_sr, audio, audio_sr, markers, labels)
+    return path, eeg, audio, markers, labels
+
+
+def test_xdf_parse_streams(xdf_file):
+    path, eeg, audio, markers, labels = xdf_file
+    streams, header = xdf.load_xdf(path, synchronize_clocks=False, dejitter_timestamps=False)
+    by_name = {s["info"]["name"][0]: s for s in streams}
+    assert set(by_name) == {"Micromed", "AudioCaptureWin", "SingleWordsMarkerStream"}
+    mm = by_name["Micromed"]
+    np.testing.assert_allclose(np.asarray(mm["time_series"]), eeg, rtol=1e-6)
+    np.testing.assert_allclose(mm["time_stamps"][0], 100.0)
+    np.testing.assert_allclose(np.diff(mm["time_stamps"]), 1.0 / 1024, atol=1e-9)
+    got_labels = [c["label"][0] for c in mm["info"]["desc"][0]["channels"][0]["channel"]]
+    assert got_labels == labels
+    mk = by_name["SingleWordsMarkerStream"]
+    assert [m[0] for m in mk["time_series"]] == [m[1] for m in markers]
+
+
+def test_xdf_clock_sync(xdf_file):
+    path, *_ = xdf_file
+    streams, _ = xdf.load_xdf(path, synchronize_clocks=True, dejitter_timestamps=True)
+    mm = [s for s in streams if s["info"]["name"][0] == "Micromed"][0]
+    np.testing.assert_allclose(mm["time_stamps"][0], 100.25, atol=1e-6)  # +0.25 offset
+
+
+def test_xdf_recording_loader(xdf_file):
+    path, eeg, audio, markers, labels = xdf_file
+    out = loaders.load_xdf_recording(path, return_markers=True)
+    eeg_c, eeg_sr, audio_c, audio_sr, ch_names, mks = out
+    assert ch_names == labels
+    assert eeg_sr == 1024 and audio_sr == 48000
+    # cut spans experimentStarted..experimentEnded (~2 s of 3 s)
+    assert 1.8 * 1024 < len(eeg_c) < 2.2 * 1024
+    assert 1.8 * 48000 < len(audio_c) < 2.2 * 48000
+    assert [m[0] for m in mks][:2] == ["experimentStarted", "start;hallo"]
+
+
+def test_hdf5_roundtrip_and_session(tmp_path, rng):
+    eeg_sr, audio_sr = 1024, 48000
+    n_words = 4
+    eeg = rng.randn(3 * n_words * eeg_sr, 5)
+    audio = 0.1 * rng.randn(3 * n_words * audio_sr)
+    markers = [["experimentStarted"]]
+    for w in ["aa", "bb", "cc", "dd"]:
+        markers += [[f"start;{w}"], [f"end;{w}"]]
+    markers += [["experimentEnded"]]
+    sdir = tmp_path / "sess"
+    sdir.mkdir()
+    loaders.save_hdf5(str(sdir / "speech1.hdf"), eeg, eeg_sr, audio, audio_sr,
+                      ch_names=[f"c{i}" for i in range(5)], markers=markers)
+
+    out = loaders.load_hdf5(str(sdir / "speech1.hdf"), return_markers=True)
+    assert out[1] == eeg_sr and out[3] == audio_sr
+    np.testing.assert_allclose(out[0], eeg)
+
+    sess = session_mod.Session(str(sdir), rng=np.random.RandomState(0))
+    assert sess.words == ["aa", "bb", "cc", "dd"]
+    w, e, a = sess.get_trial_by_index(1)
+    assert w == "bb" and e.shape == (2 * eeg_sr, 5) and a.shape == (2 * 16000,)
+    w2, e2, a2 = sess.get_trial_by_word("bb")
+    np.testing.assert_allclose(e2, e)
+
+
+def test_channel_selection_and_audio_squeeze(rng):
+    names = ["LFP1", "LFP2", "EKG", "M1", "M2"]
+    assert utils.select_channels(names, ["LFP[0-9]*", "M1"]) == ["LFP1", "LFP2", "M1"]
+    ints = (rng.randn(100) * 1000).astype(np.int16)
+    out = utils.squeeze_audio_to_float64(ints)
+    assert out.dtype == np.float64 and np.abs(out).max() <= 1.0
