@@ -1,0 +1,148 @@
+"""Experiment 1: 10-fold cross-validated spectrogram reconstruction vs a
+randomized chance level (twin of reference ``eval_steps/exp1.py``).
+
+Per fold: cut the test words' contiguous 3 s spans out of the raw recording,
+retrain on the rest, decode the held-out sEEG, compare the reconstructed
+logMels with the audio spectrogram of the held-out audio.  Chance level
+repeats this with the training sEEG circularly split at a random index to
+break neural/audio alignment (exp1.py:94-99).
+
+The reference serializes everything through ThreadPool(processes=1)
+(exp1.py:111,142); here each fold's train+decode runs as compiled TPU
+programs, and folds simply loop on the host.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.io.wavfile import write as wavwrite
+from scipy.signal import decimate
+
+from ..io.session import Session
+from ..ops.spectrogram import compute_spectrogram
+from ..runtime import pipeline, trainer
+from .metrics import extract_corrs_for_distribution, kfold_indices, pearson_correlation
+
+logger = logging.getLogger("eval.exp1")
+
+
+def train_decode_fold(k, eeg_train, audio_train, eeg_test, spec_test, eeg_sr, audio_sr,
+                      bad_channels, norm_factor, dtype=jnp.float64, key=None):
+    """One fold: full retrain + offline decode of the held-out sEEG."""
+    logger.info("Processing Fold k=%d", k)
+    res = trainer.train(eeg_train, audio_train, eeg_sr, audio_sr, bad_channels, dtype=dtype)
+
+    mask = np.ones(eeg_test.shape[1], bool)
+    mask[np.asarray(bad_channels, int)] = False
+    eeg_test_sel = eeg_test[:, mask]
+
+    cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=eeg_test_sel.shape[1],
+                                 gl_norm=float(norm_factor), dtype=dtype)
+    dec = pipeline.build_decoder_params(cfg, res.lda, res.medians, res.select)
+    spec, audio = pipeline.offline_decode(dec, cfg, eeg_test_sel, key=key or jax.random.PRNGKey(k))
+    return k, np.asarray(spec), spec_test, np.asarray(audio)
+
+
+class Experiment1:
+    def __init__(self, config, session_dir, dest_dir, rng=None):
+        self.session_dir = session_dir
+        self.dest_dir = dest_dir
+        self.config = config
+        self.rng = rng or np.random.RandomState()
+        self.sess = Session(session_dir, downsample_audio=False, rng=self.rng)
+
+    def _construct_datasets_for_run(self, nb_folds=10, randomize=False):
+        import h5py
+
+        with h5py.File(os.path.join(self.session_dir, "params.h5"), "r") as hf:
+            bad_channels = hf["bad_channels"][:]
+        norm_factor = self.config.getint("Experiment1", "griffin_lim_norm")
+
+        args = []
+        n_words = len(self.sess.words)
+        for k, (train_idx, test_idx) in enumerate(kfold_indices(n_words, nb_folds), start=1):
+            eeg_mask = np.ones(len(self.sess.eeg), bool)
+            audio_mask = np.ones(len(self.sess.audio), bool)
+            es = self.sess.word_starts_indices_eeg[test_idx[0]]
+            ee = self.sess.word_starts_indices_eeg[test_idx[-1]] + 3 * self.sess.eeg_sr
+            eeg_mask[es:ee] = False
+            as_ = self.sess.word_starts_indices_audio[test_idx[0]]
+            ae = self.sess.word_starts_indices_audio[test_idx[-1]] + 3 * self.sess.audio_sr
+            audio_mask[as_:ae] = False
+
+            x_train = self.sess.eeg[eeg_mask].astype(np.float64)
+            y_train = self.sess.audio[audio_mask]
+            x_test = self.sess.eeg[~eeg_mask]
+            y_test = np.asarray(compute_spectrogram(
+                jnp.asarray(decimate(self.sess.audio[~audio_mask], 3)), 16000, 0.016, 0.01))
+
+            minimum = min(len(x_train) / self.sess.eeg_sr, len(y_train) / self.sess.audio_sr)
+            x_train = x_train[: int(minimum * self.sess.eeg_sr)]
+            y_train = y_train[: int(minimum * self.sess.audio_sr)]
+
+            if randomize:
+                r = self.rng.randint(0, len(x_train))
+                x_train = np.vstack([x_train[r:], x_train[:r]])
+
+            args.append((k, x_train, y_train, x_test, y_test, self.sess.eeg_sr,
+                         self.sess.audio_sr, bad_channels, norm_factor))
+        return args
+
+    def _run_folds(self, args):
+        results = sorted([train_decode_fold(*a) for a in args], key=lambda r: r[0])
+        _, reco, orig, wavs = zip(*results)
+        return np.vstack(reco), np.vstack(orig), np.hstack(wavs)
+
+    def proposed_method(self, nb_folds=10):
+        reco, orig, decoded_audio = self._run_folds(self._construct_datasets_for_run(nb_folds))
+        sr = 16000
+        wav_dir = os.path.join(self.dest_dir, "reco_wavs")
+        os.makedirs(wav_dir, exist_ok=True)
+        for i, w in enumerate(self.sess.words):
+            word_wav = decoded_audio[i * 3 * sr : (i * 3 + 2) * sr]
+            wavwrite(os.path.join(wav_dir, "{:03}-{}.wav".format(i + 1, w)), sr, word_wav)
+        np.save(os.path.join(self.dest_dir, "pm_reco.npy"), reco)
+        np.save(os.path.join(self.dest_dir, "orig.npy"), orig)
+        return extract_corrs_for_distribution(orig, reco, n_folds=5)
+
+    def chance_level(self, nb_runs=100, nb_folds=10):
+        corrs = []
+        for i in range(nb_runs):
+            reco, orig, _ = self._run_folds(self._construct_datasets_for_run(nb_folds, randomize=True))
+            np.save(os.path.join(self.dest_dir, "rc_reco_i={:03}.npy".format(i + 1)), reco)
+            _, _, rs = pearson_correlation(orig, reco, return_means=True)
+            corrs.append(rs)
+        corrs = np.vstack(corrs)
+        return np.mean(corrs, axis=0), np.std(corrs, axis=0)
+
+    def synthesize_specs(self, reco, norm_factor=10.0, key=None):
+        """Re-vocode a saved spectrogram (exp1.py:162-180) as a batch."""
+        from ..ops import filter_design as fd
+        from ..ops import griffinlim as gl
+        from ..ops import iir
+
+        reco = jnp.asarray(reco, jnp.float64)
+        ops = gl.make_streaming_gl_ops(reco.shape[1], 16000.0, jnp.float64)
+        rand = gl.default_rand_init(key or jax.random.PRNGKey(0), reco.shape[0] - 1, 0, jnp.float64)
+        re = gl.streaming_gl_blocks(reco, rand, ops, 8, True)
+        raw = gl.overlap_add_stream(re, ops)
+        ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos())
+        lp, _ = iir.iir_blocked(iir.make_blocked_iir(ss, 160, jnp.float64), raw[:, None],
+                                jnp.zeros((ss.dim, 1)))
+        wav = np.asarray(gl.to_int16(lp[:, 0], norm_factor))
+        out_dir = os.path.join(self.dest_dir, "resynth")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(len(self.sess.words)):
+            trial = wav[i * 3 * 16000 : (i * 3 + 2) * 16000]
+            wavwrite(os.path.join(out_dir, "{:03}-{}.wav".format(i + 1, self.sess.words[i])), 16000, trial)
+        return wav
+
+    def run(self, randomization_runs=100):
+        pm = self.proposed_method()
+        rc = self.chance_level(nb_runs=randomization_runs)
+        return pm, rc
