@@ -1,0 +1,163 @@
+"""Online closed-loop decoding: the host event loop around the device step.
+
+Replaces the reference's feeder-process DAG execution
+(decode.py:99-149 + lsl_socket.py:54-70): a stream inlet is re-blocked into
+fixed ``packet_size`` packets, each packet makes exactly ONE device call
+(the jitted ``pipeline.make_online_step`` with donated carry), decoded
+spectrogram frames and int16 audio chunks come back, audio is handed to the
+sink through the bounded-drop queue.  Per-packet latency is traced for the
+p99-under-10ms closed-loop budget (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pipeline
+from .audio import BufferSink
+from .streams import StreamInlet, local_clock
+from .tracing import StageTracer
+
+logger = logging.getLogger("runtime.online")
+
+
+class PacketRebuffer:
+    """Accumulates arbitrary inlet chunks into exact packet_size packets
+    (the amplifier nominally sends whole packets; LSL may split/merge)."""
+
+    def __init__(self, packet_size: int, n_channels: int):
+        self.packet_size = packet_size
+        self._buf = np.zeros((0, n_channels), np.float32)
+
+    def push(self, chunk: np.ndarray):
+        if chunk.size:
+            self._buf = np.concatenate([self._buf, chunk], axis=0)
+        out = []
+        while len(self._buf) >= self.packet_size:
+            out.append(self._buf[: self.packet_size])
+            self._buf = self._buf[self.packet_size :]
+        return out
+
+
+class OnlineDecoder:
+    def __init__(self, cfg: pipeline.DecoderConfig, dec_params, bad_channels=(),
+                 key=None, sink=None, tracer=None):
+        self.cfg = cfg
+        self.params = dec_params
+        self.bad_channels = np.asarray(bad_channels, int)
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.sink = sink or BufferSink()
+        self.tracer = tracer or StageTracer(enabled=True)
+        self.step = pipeline.make_online_step(dec_params, cfg, self.key)
+        self.carry = pipeline.init_online_carry(dec_params, cfg)
+        self.spec_frames = []
+        self.audio_chunks = []
+        self.received = []
+        self._warm = False
+
+    def _select(self, packet: np.ndarray) -> np.ndarray:
+        if len(self.bad_channels):
+            return np.delete(packet, self.bad_channels, axis=1)
+        return packet
+
+    def warmup(self):
+        """Compile the step outside the realtime path."""
+        dummy = jnp.zeros((self.cfg.packet_size, self.cfg.n_channels), self.cfg.dtype)
+        carry, _ = self.step(self.carry, dummy)
+        jax.block_until_ready(carry.sample_count)
+        # re-init: warmup must not advance state
+        self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        self._warm = True
+
+    def process_packet(self, packet: np.ndarray):
+        """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
+        if not self._warm:
+            self.warmup()
+        self.received.append(packet)
+        sel = self._select(packet)
+        self.tracer.mark("packet_in")
+        self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+        spec = np.asarray(out["spec"])
+        sv = np.asarray(out["spec_valid"])
+        audio = np.asarray(out["audio"])
+        av = np.asarray(out["audio_valid"])
+        self.tracer.mark("step_done")
+        for i in np.nonzero(sv)[0]:
+            self.spec_frames.append(spec[i])
+        for i in np.nonzero(av)[0]:
+            self.audio_chunks.append(audio[i])
+            self.sink.write(audio[i])
+        self.tracer.mark("audio_out")
+
+    def run_stream(self, stream, stop_event: threading.Event | None = None,
+                   max_packets: int | None = None, store_first_timestamp_to: str | None = None,
+                   backend=None, idle_timeout: float = 5.0):
+        """Pull from a live stream until stopped (decode.py:99-149).
+
+        ``stream``: a StreamInlet or a stream name to resolve."""
+        inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
+        rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
+        self.warmup()
+        first_ts = None
+        idle = 0.0
+        n = 0
+        while not (stop_event and stop_event.is_set()):
+            chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
+            if chunk.shape[0] == 0:
+                idle += 0.25
+                if max_packets is not None and idle > idle_timeout:
+                    break
+                continue
+            idle = 0.0
+            if first_ts is None and ts:
+                first_ts = ts
+                if store_first_timestamp_to:
+                    np.save(store_first_timestamp_to, np.asarray(first_ts))
+            for packet in rebuf.push(chunk):
+                self.process_packet(packet)
+                n += 1
+            if max_packets is not None and n >= max_packets:
+                break
+        return self.results()
+
+    def results(self):
+        spectrogram = np.asarray(self.spec_frames) if self.spec_frames else np.zeros((0, self.cfg.n_mel))
+        audio = np.concatenate(self.audio_chunks) if self.audio_chunks else np.zeros(0, np.int16)
+        received = np.vstack(self.received) if self.received else np.zeros((0, 0))
+        return spectrogram, audio, received
+
+    def latency_report(self):
+        p = self.tracer.percentiles("packet_in", "step_done")
+        logger.info("per-packet device latency: p50=%.3fms p95=%.3fms p99=%.3fms",
+                    p[50] * 1e3, p[95] * 1e3, p[99] * 1e3)
+        return p
+
+
+def read_markers(run_dir: str, stream_name: str = "SingleWordsMarkerStream",
+                 stop_event=None, backend=None, timeout: float = 10.0):
+    """Marker logger (twin of local/marker.py): appends
+    ``walltime,stream_timestamp,label`` rows to markers.csv, flushing each
+    sample; run in a side process/thread to stay off the decode hot path
+    (decode.py:128-137)."""
+    import datetime
+    import os
+
+    try:
+        inlet = StreamInlet(stream_name, timeout=timeout, backend=backend)
+    except TimeoutError:
+        logger.warning("marker stream %r not found; marker logging disabled", stream_name)
+        return
+    path = os.path.join(run_dir, "markers.csv")
+    with open(path, "a") as f:
+        while not (stop_event and stop_event.is_set()):
+            label, ts = inlet.pull_string(timeout=0.25)
+            if label is None:
+                continue
+            wall = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")
+            f.write(f"{wall},{ts},{label}\n")
+            f.flush()
