@@ -51,8 +51,15 @@ def main():
     eegs = [make_eeg(jax.random.PRNGKey(i)) for i in range(3)]
     jax.block_until_ready((eegs, ends_d, rand))
 
+    window_S, frame_plan = None, None
+    pw = framing.periodic_window_matrix(ends, cfg.win)
+    if pw is not None:
+        S, Ls, P, origin = pw
+        window_S = jax.device_put(jnp.asarray(S, jnp.float32))
+        frame_plan = (Ls, P, origin, n_frames)
+
     def run(e):
-        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand)
+        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand, window_S, frame_plan)
         # Force a device round-trip: the hosted TPU relay acks block_until_ready
         # early in some paths, so timing must gate on fetched values.
         return float(jnp.sum(jnp.abs(spec))), int(audio[-1])

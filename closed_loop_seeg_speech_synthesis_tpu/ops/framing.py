@@ -130,6 +130,60 @@ def windowed_logpower(x: jnp.ndarray, ends: jnp.ndarray, win: int) -> jnp.ndarra
     return jnp.log(gathered + jnp.asarray(0.01, x.dtype))
 
 
+def periodic_window_matrix(ends: np.ndarray, win: int):
+    """Host-side selection matrix for periodic frame schedules.
+
+    The streaming grid repeats every P frames spanning exactly Ls samples
+    (shift_table): e_{i+P} = e_i + Ls.  Window sums then become ONE matmul
+    per period against a (P, Ls + win) 0/1 matrix — MXU instead of a 48 GB
+    sliding reduce_window.
+
+    Returns (S (P, 2*Ls), Ls, P) or None if the schedule isn't usable
+    (requires win <= Ls and at least one full period).
+    """
+    ends = np.asarray(ends)
+    if len(ends) < 2:
+        return None
+    d = np.diff(ends)
+    # detect period: smallest P whose diff pattern repeats over the schedule
+    for P in range(1, min(len(d), 4096) + 1):
+        cand = d[:P]
+        reps = np.tile(cand, len(d) // P + 1)[: len(d)]
+        if np.array_equal(reps, d):
+            Ls = int(cand.sum())
+            if win > Ls:
+                return None
+            S = np.zeros((P, 2 * Ls), dtype=np.float64)
+            origin = int(ends[0]) - win  # start of window 0 == period-0 start
+            for i in range(P):
+                lo = int(ends[i]) - win - origin
+                S[i, lo : lo + win] = 1.0
+            return S, Ls, P, origin
+    return None
+
+
+def windowed_logpower_periodic(x: jnp.ndarray, S: jnp.ndarray, Ls: int, n_frames: int,
+                               origin: int) -> jnp.ndarray:
+    """log(window sum of squares + 0.01) on a periodic grid via matmuls.
+
+    x: (T, C); S: (P, 2*Ls) selection matrix from periodic_window_matrix;
+    origin = e_0 - win.  Output (n_frames, C); exact same sums as
+    windowed_logpower, evaluated as (P, 2*Ls) @ (2*Ls, C) per period.
+    """
+    P = S.shape[0]
+    w = x * x
+    T, C = w.shape
+    n_periods = -(-n_frames // P)
+    need = origin + (n_periods + 1) * Ls
+    wp = jnp.pad(w, ((0, max(0, need - T)), (0, 0)))[origin : origin + (n_periods + 1) * Ls]
+    a = wp[: n_periods * Ls].reshape(n_periods, Ls, C)
+    b = wp[Ls:].reshape(n_periods, Ls, C)
+    span = jnp.concatenate([a, b], axis=1)  # (K, 2*Ls, C)
+    sums = jnp.einsum("pt,ktc->kpc", S.astype(x.dtype), span)
+    sums = sums.reshape(n_periods * P, C)[:n_frames]
+    return jnp.log(sums + jnp.asarray(0.01, x.dtype))
+
+
 def stack_context(F: jnp.ndarray, model_order: int = 4, step_size: int = 5, zero_pad: bool = True) -> jnp.ndarray:
     """Context stacking: out[j] = [F[j - m*step] for m = model_order..0] per
     channel, channel-major flattened (taps oldest-first within a channel).

@@ -226,7 +226,10 @@ def iir_blocked(op: BlockedIIR, x: jnp.ndarray, s0: jnp.ndarray):
     """Filter x: (T, C) from state s0: (S, C).  Returns (y (T, C), sT (S, C)).
 
     Equivalent to scipy.signal.sosfilt / lfilter with zi=s0 (same state
-    coordinates), evaluated block-parallel on the MXU.
+    coordinates), evaluated block-parallel on the MXU.  For single-channel
+    signals (the vocoder's audio low-pass) the Toeplitz contraction is
+    expressed with the block index as the matmul M dimension — (K, L) @
+    (L, L) — instead of K batched skinny matmuls.
     """
     T, C = x.shape
     L = op.block
@@ -235,11 +238,17 @@ def iir_blocked(op: BlockedIIR, x: jnp.ndarray, s0: jnp.ndarray):
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     u = xp.reshape(K, L, C)
 
-    q = jnp.einsum("sl,klc->ksc", op.Pmat, u)
-    s_before, _ = _boundary_states(op.A_L, q, s0)
-
-    y = jnp.einsum("ls,ksc->klc", op.Cpow, s_before) + jnp.einsum("tj,kjc->ktc", op.Tmat, u)
-    y = y.reshape(K * L, C)[:T]
+    if C == 1:
+        u2 = u[:, :, 0]                                   # (K, L)
+        q = (u2 @ op.Pmat.T)[:, :, None]                  # (K, S, 1)
+        s_before, _ = _boundary_states(op.A_L, q, s0)
+        y = s_before[:, :, 0] @ op.Cpow.T + u2 @ op.Tmat.T  # (K, L)
+        y = y.reshape(K * L, 1)[:T]
+    else:
+        q = jnp.einsum("sl,klc->ksc", op.Pmat, u)
+        s_before, _ = _boundary_states(op.A_L, q, s0)
+        y = jnp.einsum("ls,ksc->klc", op.Cpow, s_before) + jnp.einsum("tj,kjc->ktc", op.Tmat, u)
+        y = y.reshape(K * L, C)[:T]
 
     # Exact state at sample T (padding zeros must not advance the state).
     r = T - (K - 1) * L  # samples of the final (possibly partial) block

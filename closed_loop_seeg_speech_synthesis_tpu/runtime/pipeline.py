@@ -84,16 +84,21 @@ class DecoderParams:
     filt_zi: Tuple[jnp.ndarray, ...]           # flat sosfilt_zi per filter (S,)
     select: jnp.ndarray                        # (150,) int32 feature indices
     lda: lda_mod.LDAParams
+    lda_coef_full: jnp.ndarray                 # (n_bins, k, n_stacked): coef scattered to
+                                               # full stacked width — select-gather becomes
+                                               # part of one MXU matmul
     medians: jnp.ndarray                       # (n_mel, n_intervals)
     gauss_kernel: jnp.ndarray                  # (5,)
     gl_ops: gl.StreamingGLOps
-    lowpass_op: iir.BlockedIIR                 # vocoder output low-pass (block=160)
+    lowpass_op: iir.BlockedIIR                 # vocoder output low-pass (block=160, online)
+    lowpass_op_batch: iir.BlockedIIR           # same filter at block=1024 (offline audio)
     shift_table: jnp.ndarray                   # (period,) int32 frame shifts
 
     def tree_flatten(self):
         return (
             (self.filt_ops, self.filt_ops_pkt, self.filt_zi, self.select, self.lda,
-             self.medians, self.gauss_kernel, self.gl_ops, self.lowpass_op, self.shift_table),
+             self.lda_coef_full, self.medians, self.gauss_kernel, self.gl_ops,
+             self.lowpass_op, self.lowpass_op_batch, self.shift_table),
             None,
         )
 
@@ -116,17 +121,22 @@ def build_decoder_params(
     filt_ops_pkt = tuple(iir.make_blocked_iir(ss, cfg.packet_size, dt) for ss in systems)
     filt_zi = tuple(jnp.asarray(fd.sosfilt_zi(s).reshape(-1), dt) for s in chain)
     lowpass_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos(cfg.audio_sr, cfg.frame_shift_ms))
-    lowpass_op = iir.make_blocked_iir(lowpass_ss, 160, dt)
+    lda_cast = jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params)
+    sel = np.asarray(select, int)
+    coef_full = np.zeros(lda_params.coef.shape[:2] + (cfg.n_stacked,), np.float64)
+    coef_full[:, :, sel] = np.asarray(lda_params.coef, np.float64)
     return DecoderParams(
         filt_ops=filt_ops,
         filt_ops_pkt=filt_ops_pkt,
         filt_zi=filt_zi,
-        select=jnp.asarray(np.asarray(select), jnp.int32),
-        lda=jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params),
+        select=jnp.asarray(sel, jnp.int32),
+        lda=lda_cast,
+        lda_coef_full=jnp.asarray(coef_full, dt),
         medians=jnp.asarray(medians, dt),
         gauss_kernel=jnp.asarray(smoothing.gaussian_kernel1d(0.5), dt),
         gl_ops=gl.make_streaming_gl_ops(cfg.n_mel, float(cfg.audio_sr), dt),
-        lowpass_op=lowpass_op,
+        lowpass_op=iir.make_blocked_iir(lowpass_ss, 160, dt),
+        lowpass_op_batch=iir.make_blocked_iir(lowpass_ss, 1024, dt),
         shift_table=jnp.asarray(framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr), jnp.int32),
     )
 
@@ -164,10 +174,22 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
     """Stacked features (N, 5C) -> dequantized+smoothed logMel frames (N, n_mel).
 
     LDASynthesis.py:19-28 (select + per-bin predict) and
-    Dequantization.py:15-17 (median lookup + gaussian sigma 0.5)."""
-    feats = jnp.take(stacked, params.select, axis=1)
-    labels = lda_mod.predict(params.lda, feats)            # (N, n_mel)
-    deq = quantization.dequantize(labels, params.medians)  # (N, n_mel)
+    Dequantization.py:15-17 (median lookup + gaussian sigma 0.5).
+
+    The feature-select gather is folded into the LDA weights
+    (``lda_coef_full``) so prediction is one (N, 5C) @ (5C, bins*k) matmul;
+    the median lookup runs as a one-hot contraction — both MXU/VPU friendly,
+    no gathers on the hot path.
+    """
+    scores = jnp.einsum("td,bkd->tbk", stacked, params.lda_coef_full) + params.lda.intercept[None]
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    scores = jnp.where(params.lda.valid[None], scores, neg)
+    slot = jnp.argmax(scores, axis=-1)                      # (N, n_mel) class slots
+    # classes are the slot's original label; medians indexed by original label
+    onehot_slot = jax.nn.one_hot(slot, params.lda.classes.shape[1], dtype=stacked.dtype)
+    label = jnp.einsum("tbk,bk->tb", onehot_slot, params.lda.classes.astype(stacked.dtype))
+    onehot_lab = jax.nn.one_hot(label.astype(jnp.int32), params.medians.shape[1], dtype=stacked.dtype)
+    deq = jnp.einsum("tbk,bk->tb", onehot_lab, params.medians)
     return smoothing.gaussian_smooth(deq, params.gauss_kernel)
 
 
@@ -176,19 +198,24 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "frame_plan"))
 def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndarray,
-                        ends: jnp.ndarray, rand_init: jnp.ndarray):
+                        ends: jnp.ndarray, rand_init: jnp.ndarray,
+                        window_S: jnp.ndarray | None = None, frame_plan=None):
     s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
-    F = framing.windowed_logpower(s_cat, ends, cfg.win)
+    if frame_plan is not None:
+        Ls, P, origin, n_frames = frame_plan
+        F = framing.windowed_logpower_periodic(s_cat, window_S, Ls, n_frames, origin)
+    else:
+        F = framing.windowed_logpower(s_cat, ends, cfg.win)
     stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
     mel_frames = _frames_to_mel(params, stacked)
 
     re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,
                                 cfg.gl_iterations, cfg.phase_bug)
     raw = gl.overlap_add_stream(re, params.gl_ops)
-    lp, _ = iir.iir_blocked(params.lowpass_op, raw[:, None],
-                            jnp.zeros((params.lowpass_op.dim, 1), cfg.dtype))
+    lp, _ = iir.iir_blocked(params.lowpass_op_batch, raw[:, None],
+                            jnp.zeros((params.lowpass_op_batch.dim, 1), cfg.dtype))
     audio = gl.to_int16(lp[:, 0], cfg.gl_norm)
     return mel_frames, audio
 
@@ -208,8 +235,15 @@ def offline_decode(params: DecoderParams, cfg: DecoderConfig, eeg: np.ndarray,
     if rand_init is None:
         key = key if key is not None else jax.random.PRNGKey(0)
         rand_init = gl.default_rand_init(key, n_frames - 1, 0, cfg.dtype)
+    window_S, frame_plan = None, None
+    pw = framing.periodic_window_matrix(ends, cfg.win)
+    if pw is not None:
+        S, Ls, P, origin = pw
+        window_S = jnp.asarray(S, cfg.dtype)
+        frame_plan = (Ls, P, origin, n_frames)
     spec, audio = _offline_decode_jit(params, cfg, jnp.asarray(eeg, cfg.dtype),
-                                      jnp.asarray(ends, jnp.int32), jnp.asarray(rand_init, cfg.dtype))
+                                      jnp.asarray(ends, jnp.int32), jnp.asarray(rand_init, cfg.dtype),
+                                      window_S, frame_plan)
     return spec, audio
 
 
