@@ -1,0 +1,151 @@
+"""Benchmark sweep harness (BASELINE.md config matrix).
+
+Sweeps: Griffin-Lim iterations (8/16/32), channel scaling (64/128/256) and
+the online per-packet step latency.  Each prints one JSON line per point.
+
+Run:  python -m benchmarks.sweeps [gl_iters|channels|latency|all]
+
+Latency note: under the hosted TPU tunnel every dispatch pays a ~30 ms
+network round trip that does not exist on local hardware, so the latency
+sweep reports the scan-amortized per-packet device time (1000 chained steps
+in one program) alongside the raw dispatch wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make(cfg_kwargs, n_channels, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    rng = np.random.RandomState(seed)
+    cfg = pipeline.DecoderConfig(sr=1024.0, n_channels=n_channels, packet_size=32,
+                                 dtype=jnp.float32, **cfg_kwargs)
+    lda_params = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, 150) * 0.1, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool),
+    )
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    select = rng.permutation(5 * n_channels)[:150]
+    params = pipeline.build_decoder_params(cfg, lda_params, medians, select)
+    return cfg, params
+
+
+def _time_replay(cfg, params, duration_s=600.0, n=3):
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.ops import framing, griffinlim as gl
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    T = int(cfg.sr * duration_s)
+    ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr, T + cfg.prefill)
+    nf = len(ends)
+    ends_d = jnp.asarray(ends, jnp.int32)
+    rand = gl.default_rand_init(jax.random.PRNGKey(0), nf - 1, 0, jnp.float32)
+    S, Ls, P, origin = framing.periodic_window_matrix(ends, cfg.win)
+    S_d = jnp.asarray(S, jnp.float32)
+    plan = (Ls, P, origin, nf)
+    eegs = [jax.random.normal(jax.random.PRNGKey(i), (T, cfg.n_channels), jnp.float32) for i in range(n)]
+    jax.block_until_ready((eegs, rand, S_d))
+
+    def run(e):
+        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand, S_d, plan)
+        return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
+
+    run(eegs[0])
+    times = []
+    for e in eegs:
+        t0 = time.perf_counter()
+        run(e)
+        times.append(time.perf_counter() - t0)
+    return duration_s / sorted(times)[len(times) // 2]
+
+
+def sweep_gl_iters():
+    for iters in (8, 16, 32):
+        cfg, params = _make({"gl_iterations": iters}, 128)
+        xrt = _time_replay(cfg, params)
+        print(json.dumps({"metric": f"replay_xrt_gl{iters}", "value": round(xrt, 1),
+                          "unit": "x_realtime", "vs_baseline": round(xrt / 1000, 3)}))
+
+
+def sweep_channels():
+    for ch in (64, 128, 256):
+        cfg, params = _make({}, ch)
+        xrt = _time_replay(cfg, params)
+        print(json.dumps({"metric": f"replay_xrt_{ch}ch", "value": round(xrt, 1),
+                          "unit": "x_realtime", "vs_baseline": round(xrt / 1000, 3)}))
+
+
+def sweep_latency(n_packets=200):
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    cfg, params = _make({}, 128)
+    key = jax.random.PRNGKey(0)
+    step = pipeline.make_online_step(params, cfg, key)
+    carry0 = pipeline.init_online_carry(params, cfg)
+
+    # scan-amortized device time: N steps chained inside one program
+    packets = jax.random.normal(jax.random.PRNGKey(1), (n_packets, cfg.packet_size, cfg.n_channels), jnp.float32)
+    # the factory returns jax.jit(step, ...); scan over the unjitted body
+    raw_step = step.__wrapped__
+
+    @jax.jit
+    def run_scan(carry, pkts):
+        def body(c, p):
+            c2, out = raw_step(c, p)
+            return c2, out["audio_valid"]
+        c_end, flags = jax.lax.scan(body, carry, pkts)
+        return c_end.sample_count, jnp.sum(flags)
+
+    out = run_scan(carry0, packets)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    sc, nv = run_scan(pipeline.init_online_carry(params, cfg), packets)
+    int(sc)
+    amortized = (time.perf_counter() - t0) / n_packets
+
+    # raw dispatch wall time (includes host/tunnel overhead)
+    carry = pipeline.init_online_carry(params, cfg)
+    step(carry, packets[0])  # compile
+    carry = pipeline.init_online_carry(params, cfg)
+    walls = []
+    for i in range(50):
+        t0 = time.perf_counter()
+        carry, o = step(carry, packets[i % n_packets])
+        int(np.asarray(o["spec"])[0, 0] * 0 + np.asarray(o["audio"])[0, 0])
+        walls.append(time.perf_counter() - t0)
+    walls = np.asarray(walls[5:])
+
+    print(json.dumps({"metric": "online_step_device_ms", "value": round(amortized * 1e3, 3),
+                      "unit": "ms_per_packet_scan_amortized", "vs_baseline": round(10.0 / (amortized * 1e3), 2)}))
+    print(json.dumps({"metric": "online_step_dispatch_p99_ms",
+                      "value": round(float(np.percentile(walls, 99)) * 1e3, 2),
+                      "unit": "ms (includes relay RTT on this harness)",
+                      "vs_baseline": round(10.0 / (float(np.percentile(walls, 99)) * 1e3), 2)}))
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("gl_iters", "all"):
+        sweep_gl_iters()
+    if which in ("channels", "all"):
+        sweep_channels()
+    if which in ("latency", "all"):
+        sweep_latency()
+
+
+if __name__ == "__main__":
+    main()

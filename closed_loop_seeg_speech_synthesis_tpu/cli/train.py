@@ -42,6 +42,24 @@ def visualize_train_data(x_train, d_spectrogram, filename, max_samples=5000):
     plt.close(fig)
 
 
+def visualize_model_parameters(lda_params, filename):
+    """Per-bin first-discriminant coefficients (reference train.py:46-64)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    coeffs = np.asarray(lda_params.coef)[:, 0, :]  # (n_bins, n_features)
+    fig, ax = plt.subplots(figsize=(5.5, 5))
+    m = ax.imshow(coeffs.T, aspect="auto", origin="lower")
+    ax.set_title("LDA coefficients")
+    ax.set_xlabel("models (mel bins)")
+    ax.set_ylabel("coefficients")
+    fig.colorbar(m, ax=ax)
+    fig.tight_layout()
+    fig.savefig(filename, dpi=300)
+    plt.close(fig)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("Train per-bin LDA models on aligned neural and audio data.")
     parser.add_argument("config", help="Path to config file.")
@@ -112,6 +130,7 @@ def main(argv=None):
 
         d_spec = np.asarray(quantization.dequantize(jnp.asarray(result.y_train), jnp.asarray(result.medians)))
         visualize_train_data(result.x_train, d_spec, os.path.join(session_dir, "trainset.png"))
+        visualize_model_parameters(result.lda, os.path.join(session_dir, "coeffs.png"))
 
     logger.info("Training completed.")
     return path
