@@ -32,10 +32,11 @@ logger = logging.getLogger("eval.exp1")
 
 
 def train_decode_fold(k, eeg_train, audio_train, eeg_test, spec_test, eeg_sr, audio_sr,
-                      bad_channels, norm_factor, dtype=jnp.float64, key=None):
+                      bad_channels, norm_factor, dtype=jnp.float64, key=None, nb_feats=150):
     """One fold: full retrain + offline decode of the held-out sEEG."""
     logger.info("Processing Fold k=%d", k)
-    res = trainer.train(eeg_train, audio_train, eeg_sr, audio_sr, bad_channels, dtype=dtype)
+    res = trainer.train(eeg_train, audio_train, eeg_sr, audio_sr, bad_channels,
+                        nb_feats=nb_feats, dtype=dtype)
 
     mask = np.ones(eeg_test.shape[1], bool)
     mask[np.asarray(bad_channels, int)] = False
@@ -44,7 +45,8 @@ def train_decode_fold(k, eeg_train, audio_train, eeg_test, spec_test, eeg_sr, au
     cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=eeg_test_sel.shape[1],
                                  gl_norm=float(norm_factor), dtype=dtype)
     dec = pipeline.build_decoder_params(cfg, res.lda, res.medians, res.select)
-    spec, audio = pipeline.offline_decode(dec, cfg, eeg_test_sel, key=key or jax.random.PRNGKey(k))
+    spec, audio = pipeline.offline_decode(
+        dec, cfg, eeg_test_sel, key=key if key is not None else jax.random.PRNGKey(k))
     return k, np.asarray(spec), spec_test, np.asarray(audio)
 
 
@@ -116,6 +118,55 @@ class Experiment1:
             reco, orig, _ = self._run_folds(self._construct_datasets_for_run(nb_folds, randomize=True))
             np.save(os.path.join(self.dest_dir, "rc_reco_i={:03}.npy".format(i + 1)), reco)
             _, _, rs = pearson_correlation(orig, reco, return_means=True)
+            corrs.append(rs)
+        corrs = np.vstack(corrs)
+        return np.mean(corrs, axis=0), np.std(corrs, axis=0)
+
+    def chance_level_batched(self, nb_runs=100, nb_folds=10, batch_size=10,
+                             dtype=jnp.float32, key=None, save=True, nb_feats=150):
+        """TPU fan-out of the chance estimation (SURVEY §7: the reference's
+        most expensive loop, run serially there).
+
+        The randomization only circularly shifts the training sEEG
+        (exp1.py:94-99) — audio, quantization and medians are identical
+        across runs of a fold — so the whole retrain+decode per shift is one
+        jitted function vmapped over a batch of shift indices.  Feature
+        selection uses top-|rho| (same feature set as the reference's
+        argsort; LDA predictions are invariant to feature order).
+        """
+        from .exp1_batched import make_fold_chance_runner
+
+        base_args = self._construct_datasets_for_run(nb_folds, randomize=False)
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        # per (run, fold) shift indices, host RNG like the reference
+        shifts = np.zeros((nb_runs, len(base_args)), np.int64)
+        for i in range(nb_runs):
+            for f, a in enumerate(base_args):
+                shifts[i, f] = self.rng.randint(0, len(a[1]))
+
+        fold_recos = []  # per fold: (nb_runs, n_frames_fold, n_mel)
+        origs = []
+        for f, (k, x_train, y_train, x_test, y_test, eeg_sr, audio_sr, bad, norm) in enumerate(base_args):
+            runner, n_out = make_fold_chance_runner(
+                x_train, y_train, x_test, float(eeg_sr), float(audio_sr),
+                np.asarray(bad, int), float(norm), nb_feats=nb_feats, dtype=dtype)
+            outs = []
+            for start in range(0, nb_runs, batch_size):
+                idx = shifts[start : start + batch_size, f]
+                sub = jax.random.fold_in(key, f * 100003 + start)
+                outs.append(np.asarray(runner(jnp.asarray(idx, jnp.int32), sub)))
+            fold_recos.append(np.concatenate(outs, axis=0))
+            origs.append(y_test)
+        orig = np.vstack(origs)
+
+        corrs = []
+        for i in range(nb_runs):
+            reco = np.vstack([fr[i] for fr in fold_recos])
+            n = min(len(reco), len(orig))
+            if save:
+                np.save(os.path.join(self.dest_dir, "rc_reco_i={:03}.npy".format(i + 1)), reco[:n])
+            _, _, rs = pearson_correlation(orig[:n], reco[:n], return_means=True)
             corrs.append(rs)
         corrs = np.vstack(corrs)
         return np.mean(corrs, axis=0), np.std(corrs, axis=0)

@@ -119,11 +119,15 @@ def _fit_one_bin(X, y_onehot, counts, tol=1e-4):
 
 @partial(jax.jit, static_argnames=("n_classes_max",))
 def _fit_batched(X, labels, n_classes_max):
-    """labels: (n_bins, n) int32 compact slot ids in [0, n_classes_max)."""
+    """labels: (n_bins, n) int32 compact slot ids in [0, n_classes_max).
+
+    Returns (coef, intercept, present) where present marks slots with at
+    least one sample (bins can lose quantization intervals)."""
     def per_bin(y):
         onehot = jax.nn.one_hot(y, n_classes_max, dtype=X.dtype)  # (n, k)
         counts = jnp.sum(onehot, axis=0)
-        return _fit_one_bin(X, onehot, counts)
+        coef, intercept = _fit_one_bin(X, onehot, counts)
+        return coef, intercept, counts > 0
 
     return jax.vmap(per_bin)(labels)
 
@@ -149,7 +153,7 @@ def fit(X: jnp.ndarray, Y: np.ndarray, n_classes_max: int = 9) -> LDAParams:
         lut = {c: i for i, c in enumerate(u)}
         compact[:, b] = [lut[v] for v in Y[:, b]]
 
-    coef, intercept = _fit_batched(X, jnp.asarray(compact.T), n_classes_max)
+    coef, intercept, _ = _fit_batched(X, jnp.asarray(compact.T), n_classes_max)
     return LDAParams(
         coef=coef, intercept=intercept,
         classes=jnp.asarray(classes), valid=jnp.asarray(valid),

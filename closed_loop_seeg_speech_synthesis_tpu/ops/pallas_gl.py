@@ -1,0 +1,115 @@
+"""Fused Griffin-Lim iteration kernel (Pallas, TPU).
+
+The batched vocoder (ops/griffinlim.py) runs 8 iterations of
+rfft -> phase -> irfft per 480-sample block.  In the XLA formulation each
+iteration round-trips the (B, 480) waveforms and (B, 2, 129) spectra through
+HBM; this kernel keeps a tile of blocks resident in VMEM for the whole
+iteration loop — the DFT matrices (256x129), Blackman window and the block
+tile all fit comfortably — so HBM sees each block exactly once in and once
+out.
+
+The kernel reproduces the reference semantics bit-for-bit with the jnp path
+within float32 rounding, including the ``exp(angle)`` phase quirk and the
+real-bin angle handling at DC/Nyquist (see ops/griffinlim.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .griffinlim import BLOCK_SAMPLES, FFT_SIZE, HOP, StreamingGLOps
+
+_PAD_TAIL = BLOCK_SAMPLES - FFT_SIZE          # 224
+_PAD_MID = BLOCK_SAMPLES - HOP - FFT_SIZE     # 64
+
+
+def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
+               isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool):
+    fcos = fcos_ref[:]          # (N, K)
+    fsin = fsin_ref[:]          # (N, K)
+    icos = icos_ref[:]          # (K, N)
+    isin = isin_ref[:]          # (K, N)
+    win = win_ref[:]            # (1, N)
+    spec0 = spec0_ref[:]        # (TB, K)
+    spec1 = spec1_ref[:]
+    wav = wav_ref[:]            # (TB, 480)
+    f32 = jnp.float32
+    pi = f32(np.pi)
+
+    def one_frame(fr, spec):
+        xr = jnp.dot(fr, fcos, preferred_element_type=f32)
+        xi = -jnp.dot(fr, fsin, preferred_element_type=f32)
+        if phase_bug:
+            ang = jnp.arctan2(xi, xr)
+            # DC/Nyquist bins are exactly real: angle is 0 or +pi by np.angle
+            # convention (see stft.make_rdft / griffinlim._gl_iteration)
+            k = xr.shape[-1]
+            col = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1)
+            edge_bin = (col == 0) | (col == k - 1)
+            ang = jnp.where(edge_bin, jnp.where(xr < 0, pi, 0.0), ang)
+            zr = spec * jnp.exp(ang)
+            t = jnp.dot(zr, icos, preferred_element_type=f32)
+        else:
+            r = jnp.sqrt(xr * xr + xi * xi)
+            safe = r > 0
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, r, 1.0), 0.0)
+            zr = spec * jnp.where(safe, xr * inv, 1.0)
+            zi = spec * (xi * inv)
+            t = jnp.dot(zr, icos, preferred_element_type=f32) + jnp.dot(
+                zi, isin, preferred_element_type=f32)
+        return t * win
+
+    for _ in range(iterations):
+        f0 = wav[:, 0:FFT_SIZE] * win
+        f1 = wav[:, HOP : HOP + FFT_SIZE] * win
+        t0 = one_frame(f0, spec0)
+        t1 = one_frame(f1, spec1)
+        zeros_tail = jnp.zeros((wav.shape[0], _PAD_TAIL), f32)
+        zeros_head = jnp.zeros((wav.shape[0], HOP), f32)
+        zeros_mid = jnp.zeros((wav.shape[0], _PAD_MID), f32)
+        wav = (jnp.concatenate([t0, zeros_tail], axis=1)
+               + jnp.concatenate([zeros_head, t1, zeros_mid], axis=1))
+    out_ref[:] = wav
+
+
+@partial(jax.jit, static_argnames=("iterations", "phase_bug", "tile", "interpret"))
+def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGLOps,
+                     iterations: int = 8, phase_bug: bool = True, tile: int = 256,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused GL iterations.  spec: (B, 2, K) float32 target magnitudes;
+    rand_init: (B, 480).  Returns reconstructed blocks (B, 480)."""
+    B, _, K = spec.shape
+    Bp = -(-B // tile) * tile
+    spec0 = jnp.pad(spec[:, 0, :], ((0, Bp - B), (0, 0)))
+    spec1 = jnp.pad(spec[:, 1, :], ((0, Bp - B), (0, 0)))
+    wav = jnp.pad(rand_init.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    win2d = ops.window.astype(jnp.float32)[None, :]
+
+    grid = (Bp // tile,)
+    out = pl.pallas_call(
+        partial(_gl_kernel, iterations=iterations, phase_bug=phase_bug),
+        out_shape=jax.ShapeDtypeStruct((Bp, BLOCK_SAMPLES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(spec0, spec1, wav,
+      ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
+      ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32), win2d)
+    return out[:B]

@@ -102,11 +102,11 @@ def make_sharded_train_step(mesh, cfg: ShardedTrainConfig, session_len: int, aud
         select = select[::-1]  # ascending |rho|, reference ordering convention
         Xs = jnp.take(X, select, axis=1)
 
-        coef, intercept = lda_mod._fit_batched(Xs, q.T, cfg.nb_intervals)
+        coef, intercept, present = lda_mod._fit_batched(Xs, q.T, cfg.nb_intervals)
         params = lda_mod.LDAParams(
             coef=coef, intercept=intercept,
             classes=jnp.broadcast_to(jnp.arange(cfg.nb_intervals, dtype=jnp.int32), (cfg.n_mel, cfg.nb_intervals)),
-            valid=jnp.ones((cfg.n_mel, cfg.nb_intervals), bool),
+            valid=present,
         )
         return params, select, medians
 
