@@ -30,6 +30,36 @@ _PAD_TAIL = BLOCK_SAMPLES - FFT_SIZE          # 224
 _PAD_MID = BLOCK_SAMPLES - HOP - FFT_SIZE     # 64
 
 
+def _atan_01(r):
+    """atan on [0, 1], Cephes atanf scheme (~1e-7 rel error in f32)."""
+    f32 = jnp.float32
+    tan_pi8 = f32(0.4142135623730951)  # tan(pi/8)
+    reduce = r > tan_pi8
+    x = jnp.where(reduce, (r - 1.0) / (r + 1.0), r)
+    z = x * x
+    p = f32(8.05374449538e-2)
+    p = p * z - f32(1.38776856032e-1)
+    p = p * z + f32(1.99777106478e-1)
+    p = p * z - f32(3.33329491539e-1)
+    a = x + x * z * p
+    return jnp.where(reduce, f32(np.pi / 4) + a, a)
+
+
+def _atan2(y, x):
+    """np.arctan2 for Pallas TPU (atan2 has no Mosaic lowering)."""
+    f32 = jnp.float32
+    abs_y = jnp.abs(y)
+    abs_x = jnp.abs(x)
+    mx = jnp.maximum(abs_x, abs_y)
+    mn = jnp.minimum(abs_x, abs_y)
+    r = mn / jnp.where(mx > 0, mx, 1.0)
+    a = _atan_01(r)
+    a = jnp.where(abs_y > abs_x, f32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, f32(np.pi) - a, a)
+    a = jnp.where(mx == 0, 0.0, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
                isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool):
     fcos = fcos_ref[:]          # (N, K)
@@ -47,7 +77,7 @@ def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
         xr = jnp.dot(fr, fcos, preferred_element_type=f32)
         xi = -jnp.dot(fr, fsin, preferred_element_type=f32)
         if phase_bug:
-            ang = jnp.arctan2(xi, xr)
+            ang = _atan2(xi, xr)
             # DC/Nyquist bins are exactly real: angle is 0 or +pi by np.angle
             # convention (see stft.make_rdft / griffinlim._gl_iteration)
             k = xr.shape[-1]

@@ -338,11 +338,7 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         buf = jnp.concatenate([carry.hist, y], axis=0)  # (win + P, C)
         cnt = carry.sample_count
 
-        out_spec = jnp.zeros((MAX_FRAMES_PER_PACKET, cfg.n_mel), dt)
-        out_audio = jnp.zeros((MAX_FRAMES_PER_PACKET, gl.HOP), jnp.int16)
-        spec_valid = jnp.zeros((MAX_FRAMES_PER_PACKET,), bool)
-        audio_valid = jnp.zeros((MAX_FRAMES_PER_PACKET,), bool)
-
+        frame_k0 = carry.frame_k
         frame_k = carry.frame_k
         next_e = carry.next_e
         stack_ring = carry.stack_ring
@@ -350,45 +346,56 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         ola_acc, ola_wacc = carry.ola_acc, carry.ola_wacc
         lp_state = carry.lowpass_state
 
+        # --- phase 1 (sequential, cheap): framing + feature stack per slot ---
+        stacked_rows = []
+        valids = []
         for slot in range(MAX_FRAMES_PER_PACKET):
             valid = next_e <= cnt + P
             # window [next_e - win, next_e): buf[p] holds sample index (cnt - win) + p
             start = jnp.clip(next_e - cnt, 0, P)
             window = jax.lax.dynamic_slice(buf, (start, jnp.zeros((), start.dtype)), (win, buf.shape[1]))
             f_row = jnp.log(jnp.sum(window * window, axis=0) + jnp.asarray(0.01, dt))
-
             new_ring = jnp.concatenate([stack_ring[1:], f_row[None, :]], axis=0)
             stack_ring = jnp.where(valid, new_ring, stack_ring)
+            stacked_rows.append(stack_ring[taps].T.reshape(-1))  # channel-major
+            valids.append(valid)
+            next_e = jnp.where(valid, next_e + params.shift_table[frame_k % period], next_e)
+            frame_k = jnp.where(valid, frame_k + 1, frame_k)
+        stacked_all = jnp.stack(stacked_rows)          # (S, 5C)
+        spec_valid = jnp.stack(valids)                 # (S,) prefix-monotone
 
-            stacked = stack_ring[taps].T.reshape(-1)  # channel-major, oldest first
-            mel_frame = _frames_to_mel(params, stacked[None, :])[0]
-            out_spec = out_spec.at[slot].set(mel_frame)
-            spec_valid = spec_valid.at[slot].set(valid)
+        # --- phase 2 (batched): LDA + dequantization for all slots at once ---
+        mels = _frames_to_mel(params, stacked_all)     # (S, n_mel)
+        out_spec = mels
 
-            # --- vocoder: needs two frames (GriffinLim.py:131) ---
-            has_block = jnp.logical_and(valid, frame_k >= 1)
-            block_idx = jnp.maximum(frame_k - 1, 0)
-            rand = jax.random.uniform(jax.random.fold_in(key, block_idx), (gl.BLOCK_SAMPLES,), dt)
-            logmels = jnp.stack([prev_mel, mel_frame])  # (2, n_mel)
-            re = gl.streaming_gl_blocks(logmels, rand[None, :], params.gl_ops,
-                                        cfg.gl_iterations, cfg.phase_bug)[0]  # (480,)
+        # --- phase 3 (batched vocoder): blocks from consecutive mel pairs ---
+        n_valid = jnp.sum(spec_valid.astype(jnp.int32))
+        mel_seq = jnp.concatenate([prev_mel[None], mels], axis=0)  # (S+1, n_mel)
+        block_ids = frame_k0 + jnp.arange(MAX_FRAMES_PER_PACKET) - 1
+        has_block = jnp.logical_and(spec_valid, block_ids >= 0)
+        rand = jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(key, jnp.maximum(i, 0)), (gl.BLOCK_SAMPLES,), dt)
+        )(block_ids)
+        re_all = gl.streaming_gl_blocks(mel_seq, rand, params.gl_ops,
+                                        cfg.gl_iterations, cfg.phase_bug)  # (S, 480)
+
+        # --- phase 4 (sequential, cheap): OLA + low-pass per emitted chunk ---
+        out_audio = jnp.zeros((MAX_FRAMES_PER_PACKET, gl.HOP), jnp.int16)
+        for slot in range(MAX_FRAMES_PER_PACKET):
+            re = re_all[slot]
+            hb = has_block[slot]
             acc = ola_acc[0] + re[: gl.HOP]
             wsum = ola_wacc[0] + w_ola[: gl.HOP]
             chunk = jnp.where(wsum != 0, acc / jnp.where(wsum != 0, wsum, 1.0), acc)
             lp, lp_state_new = iir.iir_blocked(params.lowpass_op, chunk[:, None], lp_state)
-            audio_chunk = gl.to_int16(lp[:, 0], cfg.gl_norm)
-            out_audio = out_audio.at[slot].set(audio_chunk)
-            audio_valid = audio_valid.at[slot].set(has_block)
-
+            out_audio = out_audio.at[slot].set(gl.to_int16(lp[:, 0], cfg.gl_norm))
             new_acc = jnp.stack([ola_acc[1] + re[gl.HOP : 2 * gl.HOP], re[2 * gl.HOP :]])
             new_wacc = jnp.stack([ola_wacc[1] + w_ola[gl.HOP : 2 * gl.HOP], w_ola[2 * gl.HOP :]])
-            ola_acc = jnp.where(has_block, new_acc, ola_acc)
-            ola_wacc = jnp.where(has_block, new_wacc, ola_wacc)
-            lp_state = jnp.where(has_block, lp_state_new, lp_state)
-            prev_mel = jnp.where(valid, mel_frame, prev_mel)
-
-            next_e = jnp.where(valid, next_e + params.shift_table[frame_k % period], next_e)
-            frame_k = jnp.where(valid, frame_k + 1, frame_k)
+            ola_acc = jnp.where(hb, new_acc, ola_acc)
+            ola_wacc = jnp.where(hb, new_wacc, ola_wacc)
+            lp_state = jnp.where(hb, lp_state_new, lp_state)
+        audio_valid = has_block
+        prev_mel = jnp.where(n_valid > 0, mel_seq[n_valid], prev_mel)
 
         new_carry = OnlineCarry(
             filt_states=tuple(states),
