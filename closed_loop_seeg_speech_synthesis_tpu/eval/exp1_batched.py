@@ -96,16 +96,16 @@ def make_fold_chance_runner(x_train, y_train_audio, x_test, eeg_sr, audio_sr,
         return spec
 
     def train_features_offline(eeg):
-        """Offline herff2016_b features of one (shifted) training signal."""
+        """Offline herff2016_b features of one (shifted) training signal.
+
+        The offline trainer's warm-start rules equal the streaming ones
+        (offline.py:31-97), so the combined-chain closed-form init applies;
+        the offline grid just skips the zero-fill prefix.
+        """
         from ..ops import iir as iir_mod
 
-        x = eeg
-        for op, zi in zip(template.filt_ops[:-1], template.filt_zi[:-1]):
-            s0 = zi[:, None] * x[0][None, :]
-            x, _ = iir_mod.iir_blocked(op, x, s0)
-        s0 = template.filt_zi[-1][:, None] * jnp.ones((1, C), dtype)
-        _, s_warm = iir_mod.zero_input_response(template.filt_ops[-1], s0, cfg.prefill)
-        y, _ = iir_mod.iir_blocked(template.filt_ops[-1], x, s_warm)
+        s0 = template.filt_zi_scale[:, None] * eeg[0][None, :] + template.filt_s_const[:, None]
+        y, _ = iir_mod.iir_blocked(template.filt_op, eeg, s0)
         F = framing.windowed_logpower(y, tr_ends, wlen)
         return framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=False)
 

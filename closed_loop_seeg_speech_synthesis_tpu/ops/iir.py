@@ -278,3 +278,56 @@ def scale_zi_by_first_sample(zi_flat: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarr
     """Reference cold-start: zi scaled per channel by the first input sample
     (``livenodes/FrameBuffer.py:90-92``).  zi_flat: (S,), x0: (C,) -> (S, C)."""
     return zi_flat[:, None] * x0[None, :]
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmStartChain:
+    """The reference's full filter chain as ONE state-space system with
+    closed-form warm-start initialization.
+
+    The chain (ECogFeatCalc.py:40-104): filters 1..n-1 cold-start with
+    ``zi * first input sample``; since filter i's first input sample is
+    ``alpha_{i-1} * x0`` (alpha = product of first-sample gains
+    C_j@zi_j + D_j), the whole cascade's initial state is linear in x0:
+    ``s0 = zi_scale (x) x0 + s_const``.  The last filter warm-starts from
+    unscaled zi advanced over ``prefill`` zeros — a channel-independent
+    constant — and the zeros' output prefix (which the reference keeps in the
+    ring buffer, FrameBuffer.py:94-98) is likewise a precomputed vector.
+    """
+
+    zi_scale: np.ndarray   # (S,) -> s0 contribution proportional to x0
+    s_const: np.ndarray    # (S,) -> constant s0 part (warm-started last filter)
+    zf_prefix: np.ndarray  # (prefill,) zero-fill output prefix (all channels)
+    dim: int
+    prefill: int
+
+
+def make_warmstart_chain(chain_sos, prefill: int) -> tuple[StateSpace, WarmStartChain]:
+    """Compose a filter chain (list of SOS arrays) with reference warm-start
+    semantics.  Returns (combined StateSpace, WarmStartChain constants)."""
+    import scipy.signal as _sig
+
+    systems = [sos_to_statespace(s) for s in chain_sos]
+    combined = cascade_statespace(systems)
+    zis = [_sig.sosfilt_zi(s).reshape(-1) for s in chain_sos]
+
+    zi_scale = np.zeros(combined.dim)
+    s_const = np.zeros(combined.dim)
+    alpha = 1.0
+    off = 0
+    for ss, zi in zip(systems[:-1], zis[:-1]):
+        zi_scale[off : off + ss.dim] = zi * alpha
+        alpha *= float(ss.C @ zi + ss.D)
+        off += ss.dim
+    last, zi_last = systems[-1], zis[-1]
+    # advance the last filter's unscaled zi over `prefill` zero samples and
+    # record the emitted zero-input response (float64, once)
+    s = zi_last.copy()
+    zf = np.empty(prefill)
+    for t in range(prefill):
+        zf[t] = float(last.C @ s)
+        s = last.A @ s
+    s_const[off : off + last.dim] = s
+
+    return combined, WarmStartChain(zi_scale=zi_scale, s_const=s_const,
+                                    zf_prefix=zf, dim=combined.dim, prefill=prefill)

@@ -51,22 +51,18 @@ class ShardedTrainConfig:
 
 def _feature_ops(cfg: ShardedTrainConfig):
     chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
-    systems = [iir.sos_to_statespace(s) for s in chain]
-    ops = tuple(iir.make_blocked_iir(ss, cfg.iir_block, cfg.dtype) for ss in systems)
-    zis = tuple(jnp.asarray(fd.sosfilt_zi(s).reshape(-1), cfg.dtype) for s in chain)
-    return ops, zis
-
-
-def _session_features(cfg: ShardedTrainConfig, ops, zis, eeg, ends, wlen):
-    """One session's offline (training-grid) stacked features; channel-local."""
     prefill = int(0.05 * cfg.sr) - int(0.01 * cfg.sr)
+    combined, warm = iir.make_warmstart_chain(chain, prefill)
+    op = iir.make_blocked_iir(combined, cfg.iir_block, cfg.dtype)
+    return op, (jnp.asarray(warm.zi_scale, cfg.dtype), jnp.asarray(warm.s_const, cfg.dtype))
+
+
+def _session_features(cfg: ShardedTrainConfig, op, warm, eeg, ends, wlen):
+    """One session's offline (training-grid) stacked features; channel-local."""
+    zi_scale, s_const = warm
     x = eeg.astype(cfg.dtype)
-    for op, zi in zip(ops[:-1], zis[:-1]):
-        s0 = zi[:, None] * x[0][None, :]
-        x, _ = iir.iir_blocked(op, x, s0)
-    s0 = zis[-1][:, None] * jnp.ones((1, x.shape[1]), cfg.dtype)
-    _, s_warm = iir.zero_input_response(ops[-1], s0, prefill)
-    y, _ = iir.iir_blocked(ops[-1], x, s_warm)
+    s0 = zi_scale[:, None] * x[0][None, :] + s_const[:, None]
+    y, _ = iir.iir_blocked(op, x, s0)
     F = framing.windowed_logpower(y, ends, wlen)
     return framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=False)
 
@@ -77,7 +73,7 @@ def make_sharded_train_step(mesh, cfg: ShardedTrainConfig, session_len: int, aud
     Call the result with (eeg (B, T, C), audio (B, Ta)); returns the fitted
     LDAParams plus (select, medians) — a complete decodable model.
     """
-    ops, zis = _feature_ops(cfg)
+    op, warm = _feature_ops(cfg)
     starts = framing.offline_window_starts(0.05, 0.01, cfg.sr, session_len)
     wlen = framing.offline_window_len(0.05, cfg.sr, starts)
     ends = jnp.asarray(starts + wlen, jnp.int32)
@@ -86,7 +82,7 @@ def make_sharded_train_step(mesh, cfg: ShardedTrainConfig, session_len: int, aud
     audio_sh = NamedSharding(mesh, P("data", None))
 
     def step(eeg, audio):
-        feats = jax.vmap(lambda e: _session_features(cfg, ops, zis, e, ends, wlen))(eeg)
+        feats = jax.vmap(lambda e: _session_features(cfg, op, warm, e, ends, wlen))(eeg)
         B, N, F = feats.shape
         specs = jax.vmap(lambda a: compute_spectrogram(a, cfg.audio_sr, 0.016, 0.01, cfg.n_mel, cfg.dtype))(audio)
         specs = specs[:, 20:-4]  # alignment crop (train.py:144-147)

