@@ -74,6 +74,13 @@ class OnlineDecoder:
         self.carry = pipeline.init_online_carry(self.params, self.cfg)
         self._warm = True
 
+    def reset(self):
+        """Reset all streaming state — the equivalent of the reference's
+        cross-process ``FrameBuffer.reset_buffer()`` flag for feeder restarts
+        (FrameBuffer.py:52-57): call when the input process/stream changed."""
+        self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        self.spec_frames, self.audio_chunks, self.received = [], [], []
+
     def process_packet(self, packet: np.ndarray):
         """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
         if not self._warm:
@@ -107,7 +114,13 @@ class OnlineDecoder:
         idle = 0.0
         n = 0
         while not (stop_event and stop_event.is_set()):
-            chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
+            try:
+                chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
+            except ConnectionError:
+                # stream producer went away (amplifier restart): stop cleanly
+                # with everything decoded so far (lsl_socket.py:44-49 policy)
+                logger.warning("stream closed; stopping decode with %d packets", n)
+                break
             if chunk.shape[0] == 0:
                 idle += 0.25
                 if max_packets is not None and idle > idle_timeout:
