@@ -74,6 +74,51 @@ class Experiment2:
             corrs.append(pearson_correlation(warped, np.asarray(reco_spec))[0])
         return np.asarray(corrs)
 
+    def chance_level_batched(self, runs=100, batch_size=25, dtype=jnp.float64):
+        """All random other-task segments decoded as one vmapped batch per
+        chunk (the model is fixed; only the 2 s sEEG cuts differ), DTW scored
+        on host.  Functionally identical sampling to chance_level."""
+        from ..ops import framing
+        from ..ops import griffinlim as gl
+
+        norm = self.config.getint("Experiment2", "griffin_lim_norm")
+        bad = params_io.load_params(os.path.join(self.session_dir, "params.h5"))["bad_channels"]
+        mask = np.ones(self.other_tasks_eeg.shape[1], bool)
+        mask[bad] = False
+        cfg, dec, _ = _decoder_from_params(self.session_dir, self.dec_run.eeg_sr, int(mask.sum()), norm, dtype)
+
+        T = 2 * self.dec_run.eeg_sr
+        training_words = list(zip(self.sess.word_starts_indices_audio, self.sess.words))
+        cuts = [self.rng.randint(0, len(self.other_tasks_eeg) - T) for _ in range(runs)]
+        segs = np.stack([self.other_tasks_eeg[c : c + T][:, mask] for c in cuts])
+
+        ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr, T + cfg.prefill)
+        nf = len(ends)
+        S, Ls, P, origin = framing.periodic_window_matrix(ends, cfg.win)
+        plan = (Ls, P, origin, nf)
+        window_S = jnp.asarray(S, dtype)
+        ends_d = jnp.asarray(ends, jnp.int32)
+
+        @jax.jit
+        def decode_batch(eeg_b, rand_b):
+            return jax.vmap(lambda e, r: pipeline._offline_decode_jit(
+                dec, cfg, e, ends_d, r, window_S, plan)[0])(eeg_b, rand_b)
+
+        corrs = []
+        for start in range(0, runs, batch_size):
+            sub = segs[start : start + batch_size]
+            rand = jnp.stack([gl.default_rand_init(jax.random.PRNGKey(start + j), nf - 1, 0, dtype)
+                              for j in range(len(sub))])
+            specs = np.asarray(decode_batch(jnp.asarray(sub, dtype), rand))
+            for j, reco in enumerate(specs):
+                i = start + j
+                wa, _ = training_words[i % len(training_words)]
+                orig = self.sess.audio[wa : wa + 2 * self.sess.audio_sr]
+                orig_spec = np.asarray(compute_spectrogram(jnp.asarray(orig), self.sess.audio_sr, 0.016, 0.01))
+                warped = dtw_warping(reco, orig_spec)
+                corrs.append(pearson_correlation(warped, reco)[0])
+        return np.asarray(corrs)
+
     def matching_trials(self):
         inter = set(self.sess.words) & set(self.dec_run.words)
         corrs = []
