@@ -193,7 +193,10 @@ class Experiment1:
             wavwrite(os.path.join(out_dir, "{:03}-{}.wav".format(i + 1, self.sess.words[i])), 16000, trial)
         return wav
 
-    def run(self, randomization_runs=100):
+    def run(self, randomization_runs=100, batched=True):
         pm = self.proposed_method()
-        rc = self.chance_level(nb_runs=randomization_runs)
+        if batched:
+            rc = self.chance_level_batched(nb_runs=randomization_runs)
+        else:
+            rc = self.chance_level(nb_runs=randomization_runs)
         return pm, rc

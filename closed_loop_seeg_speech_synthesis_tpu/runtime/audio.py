@@ -135,8 +135,39 @@ class JackSink:
         self._client.close()
 
 
+class PyAudioSink:
+    """PortAudio playout (the reference's Windows path, PyAudioSink.py):
+    same bounded-drop queue feeding the stream callback."""
+
+    def __init__(self, orig_sample_rate=16000, block_size=256, max_blocks=8):
+        import pyaudio  # raises if unavailable, caller falls back
+
+        self.queue = BoundedBlockQueue(block_size, max_blocks)
+        self._pa = pyaudio.PyAudio()
+
+        def callback(in_data, frame_count, time_info, status):  # pragma: no cover
+            block = self.queue.pop()
+            if block is None:
+                return (np.zeros(frame_count, np.int16).tobytes(), pyaudio.paContinue)
+            return (block.tobytes(), pyaudio.paContinue)
+
+        self._stream = self._pa.open(format=pyaudio.paInt16, channels=1,
+                                     rate=orig_sample_rate, output=True,
+                                     frames_per_buffer=block_size,
+                                     stream_callback=callback)
+
+    def write(self, samples):
+        self.queue.push(samples)
+
+    def close(self):
+        self._stream.stop_stream()
+        self._stream.close()
+        self._pa.terminate()
+
+
 def make_sink(kind: str = "auto", wav_path=None, sample_rate=16000):
-    """Best available sink: jack -> pyaudio -> wav -> null."""
+    """Best available sink: jack -> pyaudio -> wav -> null
+    (mirrors decode.py:170-181 platform dispatch, availability-gated)."""
     if kind in ("auto", "jack"):
         try:
             return JackSink(orig_sample_rate=sample_rate)
@@ -144,6 +175,13 @@ def make_sink(kind: str = "auto", wav_path=None, sample_rate=16000):
             if kind == "jack":
                 raise
             logger.info("JACK unavailable (%s)", e)
+    if kind in ("auto", "pyaudio"):
+        try:
+            return PyAudioSink(orig_sample_rate=sample_rate)
+        except Exception as e:
+            if kind == "pyaudio":
+                raise
+            logger.info("PyAudio unavailable (%s)", e)
     if kind in ("auto", "wav") and wav_path:
         return WavFileSink(wav_path, sample_rate)
     if kind == "buffer":
