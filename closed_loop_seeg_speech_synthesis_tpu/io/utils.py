@@ -45,6 +45,24 @@ def benchmark(func):
     return wrapper
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def suppress_stdout():
+    """Silence a noisy block (utils.py:96-105)."""
+    import os
+    import sys
+
+    with open(os.devnull, "w") as devnull:
+        saved = sys.stdout
+        sys.stdout = devnull
+        try:
+            yield
+        finally:
+            sys.stdout = saved
+
+
 def in_offline_mode(config) -> bool:
     """True when Development->seeg_file points at an existing file
     (utils.py:19-33)."""

@@ -53,3 +53,53 @@ def dequantize(q_spectrogram: jnp.ndarray, medians: jnp.ndarray) -> jnp.ndarray:
     idx = q_spectrogram.astype(jnp.int32)  # (T, n_bins)
     # medians[bin, idx[t, bin]] for every (t, bin)
     return jnp.take_along_axis(medians[None, :, :], idx[:, :, None], axis=2)[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# Legacy API parity (present in the reference but unused by its trainer)
+# ---------------------------------------------------------------------------
+
+
+def to_categorical(y, num_classes=None):
+    """One-hot encode integer labels (quantization.py:4-17, unused there)."""
+    import numpy as np
+
+    y = np.asarray(y, int)
+    shape = y.shape
+    flat = y.reshape(-1)
+    if not num_classes:
+        num_classes = int(flat.max()) + 1
+    out = np.zeros((flat.size, num_classes))
+    out[np.arange(flat.size), flat] = 1
+    return out.reshape(shape + (num_classes,))
+
+
+def compute_borders_median_cut(spectrogram, nb_intervals):
+    """Median-cut interval borders (quantization.py:20-80, the legacy
+    quantizer superseded by the logistic one).  Host NumPy.
+
+    Per bin: repeatedly split the largest interval at its median element
+    until nb_intervals exist; borders are interval maxima, representatives
+    interval medians.
+    """
+    import numpy as np
+
+    spectrogram = np.asarray(spectrogram)
+    n_bins = spectrogram.shape[1]
+    borders = np.zeros((n_bins, nb_intervals))
+    medians = np.zeros((n_bins, nb_intervals))
+    for b in range(n_bins):
+        intervals = [(spectrogram.shape[0], spectrogram[:, b])]
+        while len(intervals) < nb_intervals:
+            intervals.sort(key=lambda x: x[0])
+            data = np.sort(intervals.pop()[1])
+            med = data[len(data) // 2]
+            left, right = data[data <= med], data[data > med]
+            if len(left) > 0 and len(right) > 0:
+                intervals += [(len(left), left), (len(right), right)]
+            else:
+                intervals.append((0, data))
+        intervals.sort(key=lambda x: np.median(x[1]))
+        borders[b] = [iv[1].max() for iv in intervals]
+        medians[b] = [np.median(iv[1]) for iv in intervals]
+    return medians, borders
