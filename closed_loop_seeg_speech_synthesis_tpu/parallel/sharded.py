@@ -109,6 +109,25 @@ def make_sharded_train_step(mesh, cfg: ShardedTrainConfig, session_len: int, aud
     return jax.jit(step, in_shardings=(eeg_sh, audio_sh)), (eeg_sh, audio_sh)
 
 
+def make_sharded_decode(mesh, dec_params, cfg, n_frames: int):
+    """Channel-sharded single-session decode over the 'model' axis.
+
+    The filter chain, log-power framing and context stacking are
+    channel-local (stacked features are channel-major, so a channel shard
+    owns a contiguous feature block); the fused LDA matmul contracts over the
+    sharded feature dimension — the pipeline's single cross-shard edge, where
+    XLA inserts the reduce (SURVEY.md §2 parallelism notes).
+    """
+    from ..runtime import pipeline as pl
+
+    eeg_sh = NamedSharding(mesh, P(None, "model"))
+
+    def decode(eeg, ends, rand):
+        return pl._offline_decode_jit(dec_params, cfg, eeg, ends, rand)
+
+    return jax.jit(decode, in_shardings=(eeg_sh, None, None)), eeg_sh
+
+
 def make_batched_replay(mesh, decode_jit, cfg, n_frames: int):
     """Shard a batch of sessions over the mesh and decode them all at once.
 

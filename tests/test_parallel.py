@@ -43,6 +43,38 @@ def test_sharded_train_step_runs_and_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(params.coef), np.asarray(p1.coef), rtol=1e-6, atol=1e-9)
 
 
+def test_channel_sharded_decode(mesh8):
+    """Channel-sharded decode == unsharded decode (bitwise path equality)."""
+    from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod
+    from closed_loop_seeg_speech_synthesis_tpu.ops import framing, griffinlim as gl
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    rng = np.random.RandomState(4)
+    sr, C, T = 1024.0, 16, 2048
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=C, dtype=jnp.float64)
+    lda_params = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, 20), jnp.float64),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float64),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool),
+    )
+    dec = pipeline.build_decoder_params(cfg, lda_params, np.sort(rng.randn(40, 9), 1),
+                                        rng.permutation(5 * C)[:20])
+    ends = framing.streaming_frame_ends(50, 10, sr, T + cfg.prefill)
+    nf = len(ends)
+    eeg = rng.randn(T, C)
+    rand = gl.default_rand_init(jax.random.PRNGKey(0), nf - 1, 0, jnp.float64)
+
+    sharded_decode, eeg_sh = sharded.make_sharded_decode(mesh8, dec, cfg, nf)
+    e_sharded = jax.device_put(jnp.asarray(eeg), eeg_sh)
+    spec_s, audio_s = sharded_decode(e_sharded, jnp.asarray(ends, jnp.int32), rand)
+
+    spec_r, audio_r = pipeline._offline_decode_jit(dec, cfg, jnp.asarray(eeg),
+                                                   jnp.asarray(ends, jnp.int32), rand)
+    np.testing.assert_allclose(np.asarray(spec_s), np.asarray(spec_r), rtol=1e-9, atol=1e-12)
+    assert np.abs(np.asarray(audio_s, int) - np.asarray(audio_r, int)).max() <= 1
+
+
 def test_batched_replay_sharding(mesh8):
     """Chance-run fan-out: decode a batch of sessions across the mesh."""
     from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod
