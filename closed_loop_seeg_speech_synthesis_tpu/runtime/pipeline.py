@@ -66,6 +66,9 @@ class DecoderConfig:
     # same jnp code already diverges O(1) between CPU and TPU); golden
     # equality tests run the jnp path in float64.
     use_pallas_gl: bool = True
+    # Fused filter-chain + log-power kernel (raw sEEG read from HBM once,
+    # boundary state carried in scratch across the sequential TPU grid).
+    use_pallas_frontend: bool = True
 
     @property
     def win(self) -> int:
@@ -101,13 +104,14 @@ class DecoderParams:
     lowpass_op: iir.BlockedIIR                 # vocoder output low-pass (block=160, online)
     lowpass_op_batch: iir.BlockedIIR           # same filter at block=1024 (offline audio)
     shift_table: jnp.ndarray                   # (period,) int32 frame shifts
+    frontend_ops: Any                          # FrontendOps or None (fused f32 kernel)
 
     def tree_flatten(self):
         return (
             (self.filt_op, self.filt_op_pkt, self.filt_zi_scale, self.filt_s_const,
              self.zf_prefix, self.select, self.lda, self.lda_coef_full, self.medians,
              self.gauss_kernel, self.gl_ops, self.lowpass_op, self.lowpass_op_batch,
-             self.shift_table),
+             self.shift_table, self.frontend_ops),
             None,
         )
 
@@ -126,8 +130,17 @@ def build_decoder_params(
     dt = cfg.dtype
     chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
     combined, warm = iir.make_warmstart_chain(chain, cfg.prefill)
-    filt_op = iir.make_blocked_iir(combined, cfg.iir_block, dt)
+    # block length = one schedule period when sane, enabling the fused
+    # frontend kernel (256 samples @1024 Hz, 512 @2048 Hz)
+    table = framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr)
+    Ls = int(table.sum())
+    block = Ls if 64 <= Ls <= 2048 else cfg.iir_block
+    filt_op = iir.make_blocked_iir(combined, block, dt)
     filt_op_pkt = iir.make_blocked_iir(combined, cfg.packet_size, dt)
+    from ..ops.pallas_frontend import make_frontend_ops
+
+    frontend_ops = make_frontend_ops(filt_op, warm.zf_prefix, cfg.frame_len_ms,
+                                     cfg.frame_shift_ms, cfg.sr, jnp.float32)
     lowpass_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos(cfg.audio_sr, cfg.frame_shift_ms))
     lda_cast = jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params)
     sel = np.asarray(select, int)
@@ -147,7 +160,8 @@ def build_decoder_params(
         gl_ops=gl.make_streaming_gl_ops(cfg.n_mel, float(cfg.audio_sr), dt),
         lowpass_op=iir.make_blocked_iir(lowpass_ss, 160, dt),
         lowpass_op_batch=iir.make_blocked_iir(lowpass_ss, 1024, dt),
-        shift_table=jnp.asarray(framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr), jnp.int32),
+        shift_table=jnp.asarray(table, jnp.int32),
+        frontend_ops=frontend_ops,
     )
 
 
@@ -205,11 +219,22 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
 def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndarray,
                         ends: jnp.ndarray, rand_init: jnp.ndarray,
                         window_S: jnp.ndarray | None = None, frame_plan=None):
-    s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
-    if frame_plan is not None:
+    use_fused = (cfg.use_pallas_frontend and cfg.dtype == jnp.float32
+                 and jax.default_backend() == "tpu"
+                 and params.frontend_ops is not None and frame_plan is not None)
+    if use_fused:
+        from ..ops.pallas_frontend import frontend_logpower
+
+        n_frames = frame_plan[3]
+        x = eeg.astype(cfg.dtype)
+        s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+        F = frontend_logpower(params.frontend_ops, x, s0, n_frames)
+    elif frame_plan is not None:
+        s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
         Ls, P, origin, n_frames = frame_plan
         F = framing.windowed_logpower_periodic(s_cat, window_S, Ls, n_frames, origin)
     else:
+        s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
         F = framing.windowed_logpower(s_cat, ends, cfg.win)
     stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
     mel_frames = _frames_to_mel(params, stacked)
