@@ -20,8 +20,12 @@ logger = logging.getLogger("cli.experiment_gui")
 
 def run_experiment(words, n_trials=100, word_seconds=2.0, cross_seconds=1.0,
                    stream_name="SingleWordsMarkerStream", backend=None, gui=True,
-                   seed=None):
+                   seed=None, wait_for_consumers=0.0):
     outlet = StreamOutlet(stream_name, "Markers", 1, 0.0, string_fmt=True, backend=backend)
+    if wait_for_consumers:
+        deadline = time.time() + wait_for_consumers
+        while not outlet.have_consumers() and time.time() < deadline:
+            time.sleep(0.02)
     rng = random.Random(seed)
     sequence = [words[rng.randrange(len(words))] for _ in range(n_trials)]
 
