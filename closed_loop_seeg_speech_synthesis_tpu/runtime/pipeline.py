@@ -102,7 +102,7 @@ class DecoderParams:
     gauss_kernel: jnp.ndarray                  # (5,)
     gl_ops: gl.StreamingGLOps
     lowpass_op: iir.BlockedIIR                 # vocoder output low-pass (block=160, online)
-    lowpass_op_batch: iir.BlockedIIR           # same filter at block=1024 (offline audio)
+    lowpass_op_batch: iir.BlockedIIR           # same filter at block=4096 (offline audio)
     shift_table: jnp.ndarray                   # (period,) int32 frame shifts
     frontend_ops: Any                          # FrontendOps or None (fused f32 kernel)
 
@@ -159,7 +159,7 @@ def build_decoder_params(
         gauss_kernel=jnp.asarray(smoothing.gaussian_kernel1d(0.5), dt),
         gl_ops=gl.make_streaming_gl_ops(cfg.n_mel, float(cfg.audio_sr), dt),
         lowpass_op=iir.make_blocked_iir(lowpass_ss, 160, dt),
-        lowpass_op_batch=iir.make_blocked_iir(lowpass_ss, 1024, dt),
+        lowpass_op_batch=iir.make_blocked_iir(lowpass_ss, 4096, dt),
         shift_table=jnp.asarray(table, jnp.int32),
         frontend_ops=frontend_ops,
     )
