@@ -61,11 +61,13 @@ def _atan2(y, x):
 
 
 def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
-               isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool):
-    fcos = fcos_ref[:]          # (N, K)
-    fsin = fsin_ref[:]          # (N, K)
-    icos = icos_ref[:]          # (K, N)
-    isin = isin_ref[:]          # (K, N)
+               isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool,
+               bf16: bool = False):
+    mm_t = jnp.bfloat16 if bf16 else jnp.float32
+    fcos = fcos_ref[:].astype(mm_t)  # (N, K)
+    fsin = fsin_ref[:].astype(mm_t)  # (N, K)
+    icos = icos_ref[:].astype(mm_t)  # (K, N)
+    isin = isin_ref[:].astype(mm_t)  # (K, N)
     win = win_ref[:]            # (1, N)
     spec0 = spec0_ref[:]        # (TB, K)
     spec1 = spec1_ref[:]
@@ -74,6 +76,7 @@ def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
     pi = f32(np.pi)
 
     def one_frame(fr, spec):
+        fr = fr.astype(mm_t)
         xr = jnp.dot(fr, fcos, preferred_element_type=f32)
         xi = -jnp.dot(fr, fsin, preferred_element_type=f32)
         if phase_bug:
@@ -85,15 +88,15 @@ def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
             edge_bin = (col == 0) | (col == k - 1)
             ang = jnp.where(edge_bin, jnp.where(xr < 0, pi, 0.0), ang)
             zr = spec * jnp.exp(ang)
-            t = jnp.dot(zr, icos, preferred_element_type=f32)
+            t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32)
         else:
             r = jnp.sqrt(xr * xr + xi * xi)
             safe = r > 0
             inv = jnp.where(safe, 1.0 / jnp.where(safe, r, 1.0), 0.0)
             zr = spec * jnp.where(safe, xr * inv, 1.0)
             zi = spec * (xi * inv)
-            t = jnp.dot(zr, icos, preferred_element_type=f32) + jnp.dot(
-                zi, isin, preferred_element_type=f32)
+            t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32) + jnp.dot(
+                zi.astype(mm_t), isin, preferred_element_type=f32)
         return t * win
 
     for _ in range(iterations):
@@ -109,10 +112,10 @@ def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
     out_ref[:] = wav
 
 
-@partial(jax.jit, static_argnames=("iterations", "phase_bug", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("iterations", "phase_bug", "tile", "interpret", "bf16"))
 def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGLOps,
                      iterations: int = 8, phase_bug: bool = True, tile: int = 256,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, bf16: bool = False) -> jnp.ndarray:
     """Fused GL iterations.  spec: (B, 2, K) float32 target magnitudes;
     rand_init: (B, 480).  Returns reconstructed blocks (B, 480)."""
     B, _, K = spec.shape
@@ -124,7 +127,7 @@ def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGL
 
     grid = (Bp // tile,)
     out = pl.pallas_call(
-        partial(_gl_kernel, iterations=iterations, phase_bug=phase_bug),
+        partial(_gl_kernel, iterations=iterations, phase_bug=phase_bug, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((Bp, BLOCK_SAMPLES), jnp.float32),
         grid=grid,
         in_specs=[
