@@ -56,6 +56,8 @@ def load_library():
         lib.nsx_inlet_pull_str.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                                            ctypes.POINTER(ctypes.c_double), ctypes.c_double]
         lib.nsx_inlet_destroy.argtypes = [ctypes.c_void_p]
+        lib.nsx_inlet_time_correction.restype = ctypes.c_double
+        lib.nsx_inlet_time_correction.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_double]
         lib.nsx_local_clock.restype = ctypes.c_double
         _lib = lib
         return lib
@@ -132,6 +134,14 @@ class Inlet:
         if n == 0:
             return None, ts.value
         return buf.value.decode(), ts.value
+
+    def time_correction(self, n_probes: int = 4, timeout: float = 2.0) -> float:
+        """Clock offset to add to received timestamps (LSL time_correction
+        equivalent); min-RTT ping/pong estimate over a control connection."""
+        off = self._lib.nsx_inlet_time_correction(self._h, n_probes, float(timeout))
+        if off != off:  # NaN
+            raise TimeoutError("time correction probe failed")
+        return off
 
     def close(self):
         if self._h:

@@ -101,7 +101,10 @@ class StreamInlet:
     def time_correction(self):
         if self.backend == "lsl":
             return self._i.time_correction()
-        return 0.0  # NSX loopback shares the monotonic clock
+        try:
+            return self._i.time_correction()
+        except Exception:
+            return 0.0  # loopback shares the monotonic clock anyway
 
 
 def local_clock() -> float:

@@ -19,6 +19,7 @@
 
 #include <arpa/inet.h>
 #include <cerrno>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -100,6 +101,25 @@ struct Outlet {
         if (!reg_path.empty()) ::unlink(reg_path.c_str());
     }
 
+    std::vector<std::thread> ctl_threads;
+
+    // Control connections serve clock-offset probes (the LSL
+    // time-correction equivalent): client sends 8-byte t_send, server
+    // replies (t_send, t_server_monotonic).
+    void control_loop(int fd) {
+        while (!stop) {
+            double t_send;
+            if (!recv_all(fd, &t_send, 8, 0.5)) {
+                struct pollfd pfd{fd, POLLIN | POLLHUP, 0};
+                if (::poll(&pfd, 1, 0) > 0 && (pfd.revents & (POLLHUP | POLLERR))) break;
+                continue;
+            }
+            double reply[2] = {t_send, monotonic_clock()};
+            if (!send_all(fd, reply, sizeof(reply))) break;
+        }
+        ::close(fd);
+    }
+
     void accept_loop() {
         while (!stop) {
             struct pollfd pfd{listen_fd, POLLIN, 0};
@@ -108,8 +128,20 @@ struct Outlet {
             if (fd < 0) continue;
             int one = 1;
             ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-            std::lock_guard<std::mutex> g(mu);
-            subs.push_back(fd);
+            char hello = 'D';
+            if (!recv_all(fd, &hello, 1, 2.0)) {
+                ::close(fd);
+                continue;
+            }
+            if (hello == 'C') {
+                ctl_threads.emplace_back([this, fd] { control_loop(fd); });
+            } else {
+                std::lock_guard<std::mutex> g(mu);
+                subs.push_back(fd);
+            }
+        }
+        for (auto& t : ctl_threads) {
+            if (t.joinable()) t.join();
         }
     }
 
@@ -132,13 +164,36 @@ struct Outlet {
 
 struct Inlet {
     int fd = -1;
+    int ctl_fd = -1;
+    int port = 0;
     int channels = 1;
     double srate = 0.0;
     std::string type;
     ~Inlet() {
         if (fd >= 0) ::close(fd);
+        if (ctl_fd >= 0) ::close(ctl_fd);
     }
 };
+
+int connect_to(int port, double timeout_s) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    const char* ip = getenv("NSX_CONNECT");
+    addr.sin_addr.s_addr = inet_addr(ip ? ip : "127.0.0.1");
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    double deadline = monotonic_clock() + timeout_s;
+    while (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+        if (monotonic_clock() > deadline) {
+            ::close(fd);
+            return -1;
+        }
+        ::usleep(50 * 1000);
+    }
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    return fd;
+}
 
 }  // namespace
 
@@ -241,23 +296,44 @@ void* nsx_inlet_open(const char* name, double timeout_s) {
     };
     int port = static_cast<int>(find_num("\"port\""));
     auto* in = new Inlet();
+    in->port = port;
     in->channels = static_cast<int>(find_num("\"channels\""));
     in->srate = find_num("\"srate\"");
     in->type = find_str("\"type\"");
 
-    in->fd = ::socket(AF_INET, SOCK_STREAM, 0);
-    sockaddr_in addr{};
-    addr.sin_family = AF_INET;
-    const char* ip = getenv("NSX_CONNECT");
-    addr.sin_addr.s_addr = inet_addr(ip ? ip : "127.0.0.1");
-    addr.sin_port = htons(static_cast<uint16_t>(port));
-    while (::connect(in->fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
-        if (monotonic_clock() > deadline) { delete in; return nullptr; }
-        ::usleep(50 * 1000);
-    }
-    int one = 1;
-    ::setsockopt(in->fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    in->fd = connect_to(port, deadline - monotonic_clock() + 0.1);
+    if (in->fd < 0) { delete in; return nullptr; }
+    char hello = 'D';
+    if (!send_all(in->fd, &hello, 1)) { delete in; return nullptr; }
     return in;
+}
+
+// Clock-offset estimate to the stream's producer (LSL time_correction
+// equivalent): N ping/pong probes over a control connection; the probe with
+// the smallest RTT gives offset = t_server - (t_send + rtt/2).  Returns the
+// offset to ADD to received timestamps; NAN on failure.
+double nsx_inlet_time_correction(void* inlet, int n_probes, double timeout_s) {
+    auto* in = static_cast<Inlet*>(inlet);
+    if (in->ctl_fd < 0) {
+        in->ctl_fd = connect_to(in->port, timeout_s);
+        if (in->ctl_fd < 0) return NAN;
+        char hello = 'C';
+        if (!send_all(in->ctl_fd, &hello, 1)) return NAN;
+    }
+    double best_rtt = 1e18, best_offset = NAN;
+    for (int i = 0; i < n_probes; ++i) {
+        double t0 = monotonic_clock();
+        if (!send_all(in->ctl_fd, &t0, 8)) return best_offset;
+        double reply[2];
+        if (!recv_all(in->ctl_fd, reply, sizeof(reply), timeout_s)) return best_offset;
+        double t1 = monotonic_clock();
+        double rtt = t1 - reply[0];
+        if (rtt < best_rtt) {
+            best_rtt = rtt;
+            best_offset = reply[1] - (reply[0] + rtt / 2.0);
+        }
+    }
+    return best_offset;
 }
 
 int nsx_inlet_info(void* inlet, int* channels, double* srate, char* type_buf, int type_len) {
