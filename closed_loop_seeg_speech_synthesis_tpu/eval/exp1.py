@@ -196,7 +196,11 @@ class Experiment1:
     def run(self, randomization_runs=100, batched=True):
         pm = self.proposed_method()
         if batched:
-            rc = self.chance_level_batched(nb_runs=randomization_runs)
+            try:
+                rc = self.chance_level_batched(nb_runs=randomization_runs)
+            except Exception as e:  # pragma: no cover - depends on compiler/runtime
+                logger.warning("batched chance level failed (%s); falling back to sequential", e)
+                rc = self.chance_level(nb_runs=randomization_runs)
         else:
             rc = self.chance_level(nb_runs=randomization_runs)
         return pm, rc
