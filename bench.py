@@ -64,7 +64,16 @@ def main():
         # early in some paths, so timing must gate on fetched values.
         return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
 
-    run(eegs[0])  # compile + warmup
+    # compile + warmup; the hosted relay occasionally drops a remote-compile
+    # connection, so retry before giving up
+    for attempt in range(3):
+        try:
+            run(eegs[0])
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
     times = []
     for e in eegs:
         t0 = time.perf_counter()
