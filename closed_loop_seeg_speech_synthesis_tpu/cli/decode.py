@@ -29,7 +29,6 @@ from ..io import config as config_mod
 from ..io.utils import in_offline_mode
 from ..runtime import online, params as params_io, pipeline
 from ..runtime.audio import make_sink
-from ..runtime.streams import extract_sr
 
 logger = logging.getLogger("cli.decode")
 

@@ -7,7 +7,6 @@ is ``floor((len(padded) - overlap) / shift)``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,7 +19,6 @@ serially in a ThreadPool(1) (exp1.py:111,142).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -32,7 +31,6 @@ from ..models.selection import spearman_vs_target
 from ..ops import filter_design as fd
 from ..ops import framing, iir, quantization
 from ..ops.spectrogram import compute_spectrogram
-from . import mesh as mesh_lib
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,7 +20,7 @@ import numpy as np
 
 from . import pipeline
 from .audio import BufferSink
-from .streams import StreamInlet, local_clock
+from .streams import StreamInlet
 from .tracing import StageTracer
 
 logger = logging.getLogger("runtime.online")

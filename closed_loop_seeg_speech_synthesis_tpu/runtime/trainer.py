@@ -14,10 +14,7 @@ the reference's core online/offline contract.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal as _sig
