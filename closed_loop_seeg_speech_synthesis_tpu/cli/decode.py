@@ -60,8 +60,9 @@ def _build_decoder(loaded, sr, n_channels_total, gl_norm, packet_size=32, dtype=
     return cfg, dec
 
 
-def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=jnp.float64, key=None):
+def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None):
     """Batch replay (decode.py:71-96)."""
+    dtype = dtype or pipeline.default_compute_dtype()
     mask = np.ones(eeg.shape[1], bool)
     mask[np.asarray(loaded["bad_channels"], int)] = False
     cfg, dec = _build_decoder(loaded, sfreq, eeg.shape[1], gl_norm, dtype=dtype)
@@ -71,10 +72,11 @@ def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=jnp.float64, key
 
 
 def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
-                            max_packets=None, backend=None, dtype=jnp.float32):
+                            max_packets=None, backend=None, dtype=None):
     """Closed loop against a live stream (decode.py:99-149)."""
     from ..runtime.streams import StreamInlet
 
+    dtype = dtype or pipeline.default_compute_dtype()
     stream_name = config["Decoding"]["stream_name"]
     inlet = StreamInlet(stream_name, backend=backend)
     sfreq = int(inlet.nominal_srate)
@@ -159,7 +161,8 @@ def main(argv=None):
     config_mod.make_output_dir(run_dir, config.getboolean("Decoding", "overwrite_on_rerun", fallback=True))
     config_mod.setup_logging(os.path.join(run_dir, "decode.log"))
 
-    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=jnp.float64)
+    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"),
+                                   dtype=pipeline.default_compute_dtype())
     logger.info("Ignoring channel indices: [%s]", " ".join(map(str, loaded["bad_channels"])))
     gl_norm = config.getint("Decoding", "griffin_lim_norm")
 

@@ -32,8 +32,9 @@ logger = logging.getLogger("eval.exp1")
 
 
 def train_decode_fold(k, eeg_train, audio_train, eeg_test, spec_test, eeg_sr, audio_sr,
-                      bad_channels, norm_factor, dtype=jnp.float64, key=None, nb_feats=150):
+                      bad_channels, norm_factor, dtype=None, key=None, nb_feats=150):
     """One fold: full retrain + offline decode of the held-out sEEG."""
+    dtype = dtype or pipeline.default_compute_dtype()
     logger.info("Processing Fold k=%d", k)
     res = trainer.train(eeg_train, audio_train, eeg_sr, audio_sr, bad_channels,
                         nb_feats=nb_feats, dtype=dtype)

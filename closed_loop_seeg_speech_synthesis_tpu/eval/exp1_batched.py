@@ -63,9 +63,12 @@ def make_fold_chance_runner(x_train, y_train_audio, x_test, eeg_sr, audio_sr,
                                            len(xe) + cfg.prefill)
     n_frames = len(te_ends)
     pw = framing.periodic_window_matrix(te_ends, cfg.win)
-    S, Ls, P, origin = pw
-    plan = (Ls, P, origin, n_frames)
-    window_S = jnp.asarray(S, dtype)
+    if pw is not None:
+        S, Ls, P, origin = pw
+        plan = (Ls, P, origin, n_frames)
+        window_S = jnp.asarray(S, dtype)
+    else:
+        plan, window_S = None, None
     te_ends_d = jnp.asarray(te_ends, jnp.int32)
 
     xt_d = jnp.asarray(xt, dtype)

@@ -28,7 +28,8 @@ from .metrics import pearson_correlation
 logger = logging.getLogger("eval.exp2")
 
 
-def _decoder_from_params(session_dir, sr, n_channels_used, norm_factor, dtype=jnp.float64):
+def _decoder_from_params(session_dir, sr, n_channels_used, norm_factor, dtype=None):
+    dtype = dtype or pipeline.default_compute_dtype()
     loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=dtype)
     cfg = pipeline.DecoderConfig(sr=float(sr), n_channels=n_channels_used,
                                  gl_norm=float(norm_factor), dtype=dtype)
@@ -74,13 +75,14 @@ class Experiment2:
             corrs.append(pearson_correlation(warped, np.asarray(reco_spec))[0])
         return np.asarray(corrs)
 
-    def chance_level_batched(self, runs=100, batch_size=25, dtype=jnp.float64):
+    def chance_level_batched(self, runs=100, batch_size=25, dtype=None):
         """All random other-task segments decoded as one vmapped batch per
         chunk (the model is fixed; only the 2 s sEEG cuts differ), DTW scored
         on host.  Functionally identical sampling to chance_level."""
         from ..ops import framing
         from ..ops import griffinlim as gl
 
+        dtype = dtype or pipeline.default_compute_dtype()
         norm = self.config.getint("Experiment2", "griffin_lim_norm")
         bad = params_io.load_params(os.path.join(self.session_dir, "params.h5"))["bad_channels"]
         mask = np.ones(self.other_tasks_eeg.shape[1], bool)
@@ -94,9 +96,13 @@ class Experiment2:
 
         ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr, T + cfg.prefill)
         nf = len(ends)
-        S, Ls, P, origin = framing.periodic_window_matrix(ends, cfg.win)
-        plan = (Ls, P, origin, nf)
-        window_S = jnp.asarray(S, dtype)
+        pw = framing.periodic_window_matrix(ends, cfg.win)
+        if pw is not None:
+            S, Ls, P, origin = pw
+            plan = (Ls, P, origin, nf)
+            window_S = jnp.asarray(S, dtype)
+        else:
+            plan, window_S = None, None
         ends_d = jnp.asarray(ends, jnp.int32)
 
         @jax.jit

@@ -5,9 +5,10 @@ features whose column sum is ~0 are forced to rho=0; the 150 largest |rho|
 are kept in ``np.argsort`` order (ascending |rho|), which fixes the feature
 ordering the LDA models are trained in — we reproduce that ordering exactly.
 
-Ranking (average ties, scipy.stats.rankdata semantics) and the 40x750
-correlation pass run on device; the final argsort runs host-side with numpy
-to match the reference's tie ordering bit-for-bit.
+Ranking (average ties, scipy.stats.rankdata semantics) and the correlation
+pass run on device; the final argsort runs host-side with numpy to match the
+reference's ordering, including NaN-last placement for zero-variance
+(railed) channels.
 """
 
 from __future__ import annotations
@@ -33,7 +34,10 @@ def _pearson(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ac = a - jnp.mean(a)
     bc = b - jnp.mean(b)
     denom = jnp.sqrt(jnp.sum(ac * ac) * jnp.sum(bc * bc))
-    return jnp.where(denom > 0, jnp.sum(ac * bc) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    # zero variance -> NaN, matching scipy.stats.spearmanr: the reference's
+    # np.argsort(|cs|) then sorts NaNs LAST, i.e. a constant-but-nonzero
+    # (railed) channel lands INSIDE the selected features (train.py:96-109).
+    return jnp.where(denom > 0, jnp.sum(ac * bc) / jnp.where(denom > 0, denom, 1.0), jnp.nan)
 
 
 @jax.jit
@@ -46,7 +50,7 @@ def spearman_vs_target(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         return _pearson(_rank_average(col), ry)
 
     rhos = jax.vmap(per_feature, in_axes=1)(X)
-    return jnp.where(zero_col, 0.0, rhos)
+    return jnp.where(zero_col, 0.0, rhos)  # exact-zero columns forced to 0 (train.py:103-105)
 
 
 def select_features(X: jnp.ndarray, Y: jnp.ndarray, nb_feats: int = 150) -> np.ndarray:

@@ -60,10 +60,17 @@ def streaming_frame_ends(frame_ms: float, shift_ms: float, sr: float, total_len:
     return np.asarray(ends, dtype=np.int64)
 
 
-def shift_table(frame_ms: float, shift_ms: float, sr: float) -> np.ndarray:
+def shift_table(frame_ms: float, shift_ms: float, sr: float, check_horizon: int = 64) -> np.ndarray:
     """Exact periodic diff table for the streaming grid of this buffer.
 
-    d[i] = e_{k+1} - e_k for k ≡ i (mod period); verified periodic.
+    d[i] = e_{k+1} - e_k for k ≡ i (mod period).  Periodicity is an exact
+    property only when the float expression round((first + k*shift)*sr/1000)
+    never lands on a tie broken inconsistently across periods; we therefore
+    VERIFY the candidate period against ``check_horizon`` full periods and
+    raise for schedules that are not truly periodic (the online decoder
+    relies on the table for unbounded sessions; such sample rates are
+    unsupported online — offline decoding still works via the non-periodic
+    framing path).
     """
     from fractions import Fraction
 
@@ -71,14 +78,16 @@ def shift_table(frame_ms: float, shift_ms: float, sr: float) -> np.ndarray:
     q = shift_samples.denominator
     fsize = frame_size(frame_ms, sr)
     first_ms = (float(fsize) / float(sr)) * 1000.0
-    n = 2 * q + 4
+    n = check_horizon * q + 4
     ends = [round(((first_ms + k * float(shift_ms)) / 1000.0) * float(sr)) for k in range(n + 1)]
     d = np.diff(np.asarray(ends, dtype=np.int64))
-    period = q
-    # Guard against float quirks: verify observed periodicity.
-    if not np.array_equal(d[:period], d[period : 2 * period]):
-        period = len(d) // 2
-    return d[:period].astype(np.int32)
+    reps = np.tile(d[:q], len(d) // q + 1)[: len(d)]
+    if not np.array_equal(d, reps):
+        raise ValueError(
+            f"frame schedule at sr={sr}, shift={shift_ms} ms is not exactly "
+            f"periodic (rounding ties); online decoding unsupported for this rate"
+        )
+    return d[:q].astype(np.int32)
 
 
 def offline_window_starts(win_s: float, shift_s: float, sr: float, total_len: int) -> np.ndarray:

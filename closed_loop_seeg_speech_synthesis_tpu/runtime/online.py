@@ -166,7 +166,9 @@ def read_markers(run_dir: str, stream_name: str = "SingleWordsMarkerStream",
         logger.warning("marker stream %r not found; marker logging disabled", stream_name)
         return
     path = os.path.join(run_dir, "markers.csv")
-    with open(path, "a") as f:
+    # truncate like the reference (local/marker.py opens "w"): reruns into the
+    # same run_dir must not mix stale markers into DecodingRun trial starts
+    with open(path, "w") as f:
         while not (stop_event and stop_event.is_set()):
             label, ts = inlet.pull_string(timeout=0.25)
             if label is None:

@@ -38,7 +38,20 @@ from ..ops import framing, iir, quantization, smoothing
 from ..ops import griffinlim as gl
 
 
-MAX_FRAMES_PER_PACKET = 4  # ceil(packet / min frame shift) for 32@1024 & 64@2048
+def default_compute_dtype():
+    """float32 on accelerators (enables the fused pallas paths); float64 on
+    CPU, enabling x64 so the golden numerics are actually computed — without
+    this, float64 requests silently truncate to float32 (JAX default)."""
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def max_frames_per_packet(packet_size: int, shift_table: np.ndarray) -> int:
+    """Worst-case frames emitted per packet: floor((P-1)/min_shift) + 1
+    (4 for 32@1024 Hz and 64@2048 Hz; larger for slower amplifiers)."""
+    return int((packet_size - 1) // int(np.min(shift_table))) + 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,15 +145,22 @@ def build_decoder_params(
     combined, warm = iir.make_warmstart_chain(chain, cfg.prefill)
     # block length = one schedule period when sane, enabling the fused
     # frontend kernel (256 samples @1024 Hz, 512 @2048 Hz)
-    table = framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr)
-    Ls = int(table.sum())
+    try:
+        table = framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr)
+    except ValueError:
+        # aperiodic schedule (rounding ties at this sample rate): offline
+        # decoding still works via the non-periodic framing path; the online
+        # step refuses to build (it needs the exact integer table).
+        table = np.zeros(0, np.int32)
+    Ls = int(table.sum()) if len(table) else 0
     block = Ls if 64 <= Ls <= 2048 else cfg.iir_block
     filt_op = iir.make_blocked_iir(combined, block, dt)
     filt_op_pkt = iir.make_blocked_iir(combined, cfg.packet_size, dt)
     from ..ops.pallas_frontend import make_frontend_ops
 
-    frontend_ops = make_frontend_ops(filt_op, warm.zf_prefix, cfg.frame_len_ms,
-                                     cfg.frame_shift_ms, cfg.sr, jnp.float32)
+    frontend_ops = (make_frontend_ops(filt_op, warm.zf_prefix, cfg.frame_len_ms,
+                                      cfg.frame_shift_ms, cfg.sr, jnp.float32)
+                    if len(table) else None)
     lowpass_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos(cfg.audio_sr, cfg.frame_shift_ms))
     lda_cast = jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, lda_params)
     sel = np.asarray(select, int)
@@ -355,6 +375,11 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
     win = cfg.win
     P = cfg.packet_size
     period = int(params.shift_table.shape[0])
+    if period == 0:
+        raise ValueError("online decoding needs an exactly periodic frame "
+                         "schedule; this sample rate has rounding ties "
+                         "(see ops.framing.shift_table)")
+    n_slots = max_frames_per_packet(P, np.asarray(params.shift_table))
     w_ola = params.gl_ops.ola_window
     taps = np.arange(0, cfg.model_order * cfg.step_size + 1, cfg.step_size)
 
@@ -379,7 +404,7 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         # --- phase 1 (sequential, cheap): framing + feature stack per slot ---
         stacked_rows = []
         valids = []
-        for slot in range(MAX_FRAMES_PER_PACKET):
+        for slot in range(n_slots):
             valid = next_e <= cnt + P
             # window [next_e - win, next_e): buf[p] holds sample index (cnt - win) + p
             start = jnp.clip(next_e - cnt, 0, P)
@@ -401,7 +426,7 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         # --- phase 3 (batched vocoder): blocks from consecutive mel pairs ---
         n_valid = jnp.sum(spec_valid.astype(jnp.int32))
         mel_seq = jnp.concatenate([prev_mel[None], mels], axis=0)  # (S+1, n_mel)
-        block_ids = frame_k0 + jnp.arange(MAX_FRAMES_PER_PACKET) - 1
+        block_ids = frame_k0 + jnp.arange(n_slots) - 1
         has_block = jnp.logical_and(spec_valid, block_ids >= 0)
         rand = jax.vmap(
             lambda i: jax.random.uniform(jax.random.fold_in(key, jnp.maximum(i, 0)), (gl.BLOCK_SAMPLES,), dt)
@@ -410,8 +435,8 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
                                         cfg.gl_iterations, cfg.phase_bug)  # (S, 480)
 
         # --- phase 4 (sequential, cheap): OLA + low-pass per emitted chunk ---
-        out_audio = jnp.zeros((MAX_FRAMES_PER_PACKET, gl.HOP), jnp.int16)
-        for slot in range(MAX_FRAMES_PER_PACKET):
+        out_audio = jnp.zeros((n_slots, gl.HOP), jnp.int16)
+        for slot in range(n_slots):
             re = re_all[slot]
             hb = has_block[slot]
             acc = ola_acc[0] + re[: gl.HOP]

@@ -74,13 +74,16 @@ class TrainResult:
 
 def train(eeg: np.ndarray, audio: np.ndarray, eeg_sr: float, audio_sr: float,
           bad_channels, nb_mel_bins: int = 40, nb_intervals: int = 9,
-          nb_feats: int = 150, line_noise: int = 50, dtype=jnp.float64) -> TrainResult:
+          nb_feats: int = 150, line_noise: int = 50, dtype=None) -> TrainResult:
     """Full training (reference train.py:132-168).
 
     eeg: (T, C_all) raw; audio: (T_a,) in [-1, 1] float; bad_channels:
     indices to exclude.  Audio is decimated by 3 to 16 kHz exactly as the
     reference does (train.py:125, scipy.signal.decimate defaults).
     """
+    from .pipeline import default_compute_dtype
+
+    dtype = dtype or default_compute_dtype()
     bad_channels = np.asarray(bad_channels, int)
     if len(bad_channels) > 0:
         mask = np.ones(eeg.shape[1], bool)

@@ -64,16 +64,44 @@ bool send_all(int fd, const void* buf, size_t n) {
     return true;
 }
 
-bool recv_all(int fd, void* buf, size_t n, double timeout_s) {
+// 1 = ok, 0 = timeout (no bytes consumed yet), -1 = connection closed/error.
+int recv_all(int fd, void* buf, size_t n, double timeout_s) {
     char* p = static_cast<char*>(buf);
+    bool started = false;
     while (n > 0) {
         struct pollfd pfd{fd, POLLIN, 0};
         int pr = ::poll(&pfd, 1, timeout_s < 0 ? -1 : static_cast<int>(timeout_s * 1000));
-        if (pr <= 0) return false;
+        if (pr <= 0) return started ? -1 : 0;  // mid-message timeout = broken peer
         ssize_t r = ::recv(fd, p, n, 0);
-        if (r <= 0) return false;
+        if (r <= 0) return -1;  // EOF or error, NOT a timeout
+        started = true;
         p += r;
         n -= static_cast<size_t>(r);
+    }
+    return 1;
+}
+
+// Send with a stall budget: on EAGAIN, wait for writability up to the
+// remaining budget; a subscriber that stays blocked past it is dropped
+// (latency-over-completeness, like the reference's bounded audio pipes).
+bool send_all_budget(int fd, const void* buf, size_t n, double budget_s) {
+    const char* p = static_cast<const char*>(buf);
+    double deadline = monotonic_clock() + budget_s;
+    while (n > 0) {
+        ssize_t w = ::send(fd, p, n, MSG_NOSIGNAL | MSG_DONTWAIT);
+        if (w > 0) {
+            p += w;
+            n -= static_cast<size_t>(w);
+            continue;
+        }
+        if (w < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+            double left = deadline - monotonic_clock();
+            if (left <= 0) return false;
+            struct pollfd pfd{fd, POLLOUT, 0};
+            if (::poll(&pfd, 1, static_cast<int>(left * 1000) + 1) <= 0) return false;
+            continue;
+        }
+        return false;
     }
     return true;
 }
@@ -109,7 +137,7 @@ struct Outlet {
     void control_loop(int fd) {
         while (!stop) {
             double t_send;
-            if (!recv_all(fd, &t_send, 8, 0.5)) {
+            if (recv_all(fd, &t_send, 8, 0.5) != 1) {
                 struct pollfd pfd{fd, POLLIN | POLLHUP, 0};
                 if (::poll(&pfd, 1, 0) > 0 && (pfd.revents & (POLLHUP | POLLERR))) break;
                 continue;
@@ -129,7 +157,7 @@ struct Outlet {
             int one = 1;
             ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
             char hello = 'D';
-            if (!recv_all(fd, &hello, 1, 2.0)) {
+            if (recv_all(fd, &hello, 1, 2.0) != 1) {
                 ::close(fd);
                 continue;
             }
@@ -146,11 +174,14 @@ struct Outlet {
     }
 
     bool broadcast(uint8_t kind, double ts, const void* payload, uint32_t bytes) {
+        const double budget = 1.0;  // seconds of stall before a subscriber is dropped
         std::lock_guard<std::mutex> g(mu);
         for (size_t i = 0; i < subs.size();) {
             int fd = subs[i];
-            bool ok = send_all(fd, &kind, 1) && send_all(fd, &bytes, 4) &&
-                      send_all(fd, &ts, 8) && send_all(fd, payload, bytes);
+            bool ok = send_all_budget(fd, &kind, 1, budget) &&
+                      send_all_budget(fd, &bytes, 4, budget) &&
+                      send_all_budget(fd, &ts, 8, budget) &&
+                      send_all_budget(fd, payload, bytes, budget);
             if (!ok) {
                 ::close(fd);
                 subs.erase(subs.begin() + i);
@@ -325,7 +356,7 @@ double nsx_inlet_time_correction(void* inlet, int n_probes, double timeout_s) {
         double t0 = monotonic_clock();
         if (!send_all(in->ctl_fd, &t0, 8)) return best_offset;
         double reply[2];
-        if (!recv_all(in->ctl_fd, reply, sizeof(reply), timeout_s)) return best_offset;
+        if (recv_all(in->ctl_fd, reply, sizeof(reply), timeout_s) != 1) return best_offset;
         double t1 = monotonic_clock();
         double rtt = t1 - reply[0];
         if (rtt < best_rtt) {
@@ -353,8 +384,9 @@ int nsx_inlet_pull(void* inlet, float* buf, int max_samples, double* ts_out, dou
     uint8_t kind;
     uint32_t bytes;
     double ts;
-    if (!recv_all(in->fd, &kind, 1, timeout_s)) return 0;
-    if (!recv_all(in->fd, &bytes, 4, 5.0) || !recv_all(in->fd, &ts, 8, 5.0)) return -1;
+    int rc = recv_all(in->fd, &kind, 1, timeout_s);
+    if (rc <= 0) return rc;  // 0 timeout, -1 closed
+    if (recv_all(in->fd, &bytes, 4, 5.0) != 1 || recv_all(in->fd, &ts, 8, 5.0) != 1) return -1;
     if (ts_out) *ts_out = ts;
     int n = static_cast<int>(bytes / (in->channels * sizeof(float)));
     if (kind != KIND_NUMERIC || n > max_samples) {
@@ -363,7 +395,7 @@ int nsx_inlet_pull(void* inlet, float* buf, int max_samples, double* ts_out, dou
         recv_all(in->fd, sink.data(), bytes, 5.0);
         return kind != KIND_NUMERIC ? -2 : 0;
     }
-    if (!recv_all(in->fd, buf, bytes, 5.0)) return -1;
+    if (recv_all(in->fd, buf, bytes, 5.0) != 1) return -1;
     return n;
 }
 
@@ -372,11 +404,12 @@ int nsx_inlet_pull_str(void* inlet, char* buf, int buf_len, double* ts_out, doub
     uint8_t kind;
     uint32_t bytes;
     double ts;
-    if (!recv_all(in->fd, &kind, 1, timeout_s)) return 0;
-    if (!recv_all(in->fd, &bytes, 4, 5.0) || !recv_all(in->fd, &ts, 8, 5.0)) return -1;
+    int rc = recv_all(in->fd, &kind, 1, timeout_s);
+    if (rc <= 0) return rc;
+    if (recv_all(in->fd, &bytes, 4, 5.0) != 1 || recv_all(in->fd, &ts, 8, 5.0) != 1) return -1;
     if (ts_out) *ts_out = ts;
     std::vector<char> tmp(bytes);
-    if (!recv_all(in->fd, tmp.data(), bytes, 5.0)) return -1;
+    if (recv_all(in->fd, tmp.data(), bytes, 5.0) != 1) return -1;
     if (kind != KIND_STRING) return -2;
     int n = static_cast<int>(bytes) < buf_len - 1 ? static_cast<int>(bytes) : buf_len - 1;
     ::memcpy(buf, tmp.data(), static_cast<size_t>(n));

@@ -65,7 +65,9 @@ def test_decoder_survives_stream_loss(rng):
     results = {}
 
     def run():
-        results["r"] = decoder.run_stream("dying_stream", backend="nsx", max_packets=1000)
+        # interactive mode (max_packets=None): termination must come from the
+        # EOF -> ConnectionError path, not an idle timeout
+        results["r"] = decoder.run_stream("dying_stream", backend="nsx", max_packets=None)
 
     t = threading.Thread(target=run)
     t.start()
