@@ -60,19 +60,25 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
-def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
+def _gl_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, fcos_ref, fsin_ref, icos_ref,
                isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool,
                bf16: bool = False):
     mm_t = jnp.bfloat16 if bf16 else jnp.float32
+    f32 = jnp.float32
     fcos = fcos_ref[:].astype(mm_t)  # (N, K)
     fsin = fsin_ref[:].astype(mm_t)  # (N, K)
     icos = icos_ref[:].astype(mm_t)  # (K, N)
     isin = isin_ref[:].astype(mm_t)  # (K, N)
     win = win_ref[:]            # (1, N)
-    spec0 = spec0_ref[:]        # (TB, K)
-    spec1 = spec1_ref[:]
+
+    def from_log_mels(lm):
+        # exp(logmels) @ Minv with NaN/Inf scrub (MelFilterBank.py:82-83)
+        out = jnp.dot(jnp.exp(lm), minv_ref[:], preferred_element_type=f32)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
+
+    spec0 = from_log_mels(lm0_ref[:])  # (TB, K)
+    spec1 = from_log_mels(lm1_ref[:])
     wav = wav_ref[:]            # (TB, 480)
-    f32 = jnp.float32
     pi = f32(np.pi)
 
     def one_frame(fr, spec):
@@ -113,17 +119,20 @@ def _gl_kernel(spec0_ref, spec1_ref, wav_ref, fcos_ref, fsin_ref, icos_ref,
 
 
 @partial(jax.jit, static_argnames=("iterations", "phase_bug", "tile", "interpret", "bf16"))
-def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGLOps,
+def gl_blocks_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGLOps,
                      iterations: int = 8, phase_bug: bool = True, tile: int = 256,
                      interpret: bool = False, bf16: bool = False) -> jnp.ndarray:
-    """Fused GL iterations.  spec: (B, 2, K) float32 target magnitudes;
-    rand_init: (B, 480).  Returns reconstructed blocks (B, 480)."""
-    B, _, K = spec.shape
+    """Fused GL iterations.  log_mels: (B+1, n_mel) dequantized frames (block
+    b uses frames b, b+1; the mel inversion runs in-kernel); rand_init:
+    (B, 480).  Returns reconstructed blocks (B, 480)."""
+    B = rand_init.shape[0]
+    n_mel = log_mels.shape[1]
     Bp = -(-B // tile) * tile
-    spec0 = jnp.pad(spec[:, 0, :], ((0, Bp - B), (0, 0)))
-    spec1 = jnp.pad(spec[:, 1, :], ((0, Bp - B), (0, 0)))
+    lm0 = jnp.pad(log_mels[:-1].astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    lm1 = jnp.pad(log_mels[1:].astype(jnp.float32), ((0, Bp - B), (0, 0)))
     wav = jnp.pad(rand_init.astype(jnp.float32), ((0, Bp - B), (0, 0)))
     win2d = ops.window.astype(jnp.float32)[None, :]
+    K = ops.rdft.F_cos.shape[1]
 
     grid = (Bp // tile,)
     out = pl.pallas_call(
@@ -131,9 +140,10 @@ def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGL
         out_shape=jax.ShapeDtypeStruct((Bp, BLOCK_SAMPLES), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mel, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -142,7 +152,7 @@ def gl_blocks_pallas(spec: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGL
         ],
         out_specs=pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(spec0, spec1, wav,
+    )(lm0, lm1, wav, ops.Minv.astype(jnp.float32),
       ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
       ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32), win2d)
     return out[:B]

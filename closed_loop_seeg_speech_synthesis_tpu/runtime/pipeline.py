@@ -260,12 +260,9 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
     mel_frames = _frames_to_mel(params, stacked)
 
     if cfg.use_pallas_gl and cfg.dtype == jnp.float32 and jax.default_backend() == "tpu":
-        from ..ops import mel as mel_ops
         from ..ops.pallas_gl import gl_blocks_pallas
 
-        spec_frames = mel_ops.from_log_mels(mel_frames, params.gl_ops.Minv)
-        spec_pairs = jnp.stack([spec_frames[:-1], spec_frames[1:]], axis=1)
-        re = gl_blocks_pallas(spec_pairs, rand_init, params.gl_ops,
+        re = gl_blocks_pallas(mel_frames, rand_init, params.gl_ops,
                               cfg.gl_iterations, cfg.phase_bug)
     else:
         re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,

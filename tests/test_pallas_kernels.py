@@ -18,9 +18,7 @@ def test_pallas_gl_matches_jnp(rng, phase_bug):
     logmels = jnp.asarray(rng.randn(20, 40) * 0.5 - 1.0, jnp.float32)
     rand = jnp.asarray(rng.rand(19, 480), jnp.float32)
     re_ref = gl.streaming_gl_blocks(logmels, rand, ops, 8, phase_bug)
-    spec_frames = mel_ops.from_log_mels(logmels, ops.Minv)
-    spec = jnp.stack([spec_frames[:-1], spec_frames[1:]], axis=1)
-    re_p = gl_blocks_pallas(spec, rand, ops, 8, phase_bug, tile=8, interpret=True)
+    re_p = gl_blocks_pallas(logmels, rand, ops, 8, phase_bug, tile=8, interpret=True)
     # interpret mode executes the same jnp ops (incl. the real-atan2 in the
     # kernel, which matches arctan2 to ~1e-7)
     np.testing.assert_allclose(np.asarray(re_p), np.asarray(re_ref), atol=2e-4)
