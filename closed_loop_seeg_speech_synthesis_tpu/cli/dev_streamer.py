@@ -82,6 +82,9 @@ def main(argv=None):
     parser.add_argument("--backend", choices=["lsl", "nsx"], default=None)
     parser.add_argument("--asap", action="store_true", help="No realtime pacing.")
     parser.add_argument("--markers", action="store_true", help="Emit fake experiment markers.")
+    parser.add_argument("--marker_stream_name", default=None,
+                        help="Marker stream name (defaults to the config's "
+                             "Decoding->marker_stream_name, else the reference default).")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -92,7 +95,10 @@ def main(argv=None):
 
     stop = threading.Event()
     if args.markers:
-        t = threading.Thread(target=stream_fake_markers, kwargs={"stop_event": stop, "backend": args.backend})
+        mk_name = (args.marker_stream_name
+                   or config.get("Decoding", "marker_stream_name", fallback="SingleWordsMarkerStream"))
+        t = threading.Thread(target=stream_fake_markers,
+                             kwargs={"stream_name": mk_name, "stop_event": stop, "backend": args.backend})
         t.daemon = True
         t.start()
     try:
