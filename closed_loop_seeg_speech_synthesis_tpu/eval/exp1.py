@@ -135,7 +135,7 @@ class Experiment1:
         selection uses top-|rho| (same feature set as the reference's
         argsort; LDA predictions are invariant to feature order).
         """
-        from .exp1_batched import make_fold_chance_runner
+        from .exp1_batched import fold_targets, make_chance_runner
 
         base_args = self._construct_datasets_for_run(nb_folds, randomize=False)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -146,17 +146,29 @@ class Experiment1:
             for f, a in enumerate(base_args):
                 shifts[i, f] = self.rng.randint(0, len(a[1]))
 
+        # one compiled runner per distinct fold shape (uniform KFold => one)
+        runners = {}
         fold_recos = []  # per fold: (nb_runs, n_frames_fold, n_mel)
         origs = []
         for f, (k, x_train, y_train, x_test, y_test, eeg_sr, audio_sr, bad, norm) in enumerate(base_args):
-            runner, n_out = make_fold_chance_runner(
-                x_train, y_train, x_test, float(eeg_sr), float(audio_sr),
-                np.asarray(bad, int), float(norm), nb_feats=nb_feats, dtype=dtype)
+            mask = np.ones(x_train.shape[1], bool)
+            if len(bad):
+                mask[np.asarray(bad, int)] = False
+            xt = jnp.asarray(x_train[:, mask], dtype)
+            xe = jnp.asarray(x_test[:, mask], dtype)
+            shape_key = (xt.shape, xe.shape, float(norm))
+            if shape_key not in runners:
+                runners[shape_key] = make_chance_runner(
+                    xt.shape[0], xe.shape[0], xt.shape[1], float(eeg_sr), float(norm),
+                    nb_feats=nb_feats, dtype=dtype)
+            runner, n_out = runners[shape_key]
+            q, medians, y_mean = fold_targets(y_train)
+            q_d, med_d, ym_d = jnp.asarray(q), jnp.asarray(medians, dtype), jnp.asarray(y_mean, dtype)
             outs = []
             for start in range(0, nb_runs, batch_size):
                 idx = shifts[start : start + batch_size, f]
                 sub = jax.random.fold_in(key, f * 100003 + start)
-                outs.append(np.asarray(runner(jnp.asarray(idx, jnp.int32), sub)))
+                outs.append(np.asarray(runner(xt, xe, q_d, ym_d, med_d, jnp.asarray(idx, jnp.int32), sub)))
             fold_recos.append(np.concatenate(outs, axis=0))
             origs.append(y_test)
         orig = np.vstack(origs)
