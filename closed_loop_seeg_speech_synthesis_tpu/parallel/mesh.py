@@ -24,9 +24,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, model_axis: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devs)} exist "
+            f"(backend={jax.default_backend()!r}). For a virtual multi-device "
+            "CPU mesh, set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "and jax.config.update('jax_platforms', 'cpu') before any jax use."
+        )
     devs = devs[:n]
     if model_axis is None:
         model_axis = 2 if n % 2 == 0 and n > 1 else 1
+    if n % model_axis != 0:
+        raise ValueError(f"make_mesh: model_axis={model_axis} does not divide n={n}")
     data_axis = n // model_axis
     grid = np.asarray(devs).reshape(data_axis, model_axis)
     return Mesh(grid, ("data", "model"))

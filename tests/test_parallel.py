@@ -106,3 +106,11 @@ def test_batched_replay_sharding(mesh8):
     s0, a0 = pipeline._offline_decode_jit(dec, cfg, eeg_b[0], jnp.asarray(ends, jnp.int32), rand_b[0])
     np.testing.assert_allclose(np.asarray(specs[0]), np.asarray(s0), rtol=1e-9, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(audios[0]), np.asarray(a0))
+
+
+def test_make_mesh_errors():
+    import pytest
+    with pytest.raises(ValueError, match="only 8 exist"):
+        mesh_lib.make_mesh(16)
+    with pytest.raises(ValueError, match="does not divide"):
+        mesh_lib.make_mesh(8, model_axis=3)
