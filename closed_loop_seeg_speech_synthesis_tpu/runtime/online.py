@@ -32,21 +32,48 @@ class PacketRebuffer:
 
     def __init__(self, packet_size: int, n_channels: int):
         self.packet_size = packet_size
-        self._buf = np.zeros((0, n_channels), np.float32)
+        # preallocated: no per-chunk np.concatenate on the 10 ms hot path
+        self._buf = np.zeros((max(8 * packet_size, 1024), n_channels), np.float32)
+        self._n = 0
 
     def push(self, chunk: np.ndarray):
+        chunk = np.asarray(chunk, np.float32)
         if chunk.size:
-            self._buf = np.concatenate([self._buf, chunk], axis=0)
+            need = self._n + len(chunk)
+            if need > len(self._buf):  # oversized burst: grow once, stays rare
+                grown = np.zeros((max(2 * len(self._buf), need), self._buf.shape[1]),
+                                 np.float32)
+                grown[: self._n] = self._buf[: self._n]
+                self._buf = grown
+            self._buf[self._n : need] = chunk
+            self._n = need
         out = []
-        while len(self._buf) >= self.packet_size:
-            out.append(self._buf[: self.packet_size])
-            self._buf = self._buf[self.packet_size :]
+        ps = self.packet_size
+        k = 0
+        while self._n - k >= ps:
+            out.append(self._buf[k : k + ps].copy())
+            k += ps
+        if k:
+            rem = self._n - k
+            if rem:
+                self._buf[:rem] = self._buf[k : self._n]
+            self._n = rem
         return out
 
 
 class OnlineDecoder:
+    """Per-packet device decoding.
+
+    ``pipelined=True`` enables double-buffered host pipelining: each packet's
+    ``step`` is dispatched asynchronously and its outputs are materialized
+    when the NEXT packet arrives, so device compute and device->host readback
+    overlap the inter-packet interval instead of blocking the loop (the
+    host-side twin of the amplifier's own 31 ms cadence).  Costs one packet
+    period of added playout latency; leave off when device latency per step
+    is far below the packet cadence (a locally attached chip)."""
+
     def __init__(self, cfg: pipeline.DecoderConfig, dec_params, bad_channels=(),
-                 key=None, sink=None, tracer=None):
+                 key=None, sink=None, tracer=None, pipelined: bool = False):
         self.cfg = cfg
         self.params = dec_params
         self.bad_channels = np.asarray(bad_channels, int)
@@ -55,6 +82,8 @@ class OnlineDecoder:
         self.tracer = tracer or StageTracer(enabled=True)
         self.step = pipeline.make_online_step(dec_params, cfg, self.key)
         self.carry = pipeline.init_online_carry(dec_params, cfg)
+        self.pipelined = pipelined
+        self._pending = None   # un-materialized device outputs of the last step
         self.spec_frames = []
         self.audio_chunks = []
         self.received = []
@@ -79,16 +108,11 @@ class OnlineDecoder:
         cross-process ``FrameBuffer.reset_buffer()`` flag for feeder restarts
         (FrameBuffer.py:52-57): call when the input process/stream changed."""
         self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        self._pending = None
         self.spec_frames, self.audio_chunks, self.received = [], [], []
 
-    def process_packet(self, packet: np.ndarray):
-        """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
-        if not self._warm:
-            self.warmup()
-        self.received.append(packet)
-        sel = self._select(packet)
-        self.tracer.mark("packet_in")
-        self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+    def _emit(self, out):
+        """Materialize one step's device outputs and hand audio to the sink."""
         spec = np.asarray(out["spec"])
         sv = np.asarray(out["spec_valid"])
         audio = np.asarray(out["audio"])
@@ -100,6 +124,30 @@ class OnlineDecoder:
             self.audio_chunks.append(audio[i])
             self.sink.write(audio[i])
         self.tracer.mark("audio_out")
+
+    def process_packet(self, packet: np.ndarray):
+        """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
+        if not self._warm:
+            self.warmup()
+        self.received.append(packet)
+        sel = self._select(packet)
+        self.tracer.mark("packet_in")
+        self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+        if self.pipelined:
+            # async dispatch: emit the PREVIOUS packet's outputs (already
+            # computed during the inter-packet interval) and leave this
+            # step's results on device
+            prev, self._pending = self._pending, out
+            if prev is not None:
+                self._emit(prev)
+        else:
+            self._emit(out)
+
+    def flush(self):
+        """Drain the pipelined tail (call at stream end)."""
+        if self._pending is not None:
+            out, self._pending = self._pending, None
+            self._emit(out)
 
     def run_stream(self, stream, stop_event: threading.Event | None = None,
                    max_packets: int | None = None, store_first_timestamp_to: str | None = None,
@@ -139,6 +187,7 @@ class OnlineDecoder:
         return self.results()
 
     def results(self):
+        self.flush()
         spectrogram = np.asarray(self.spec_frames) if self.spec_frames else np.zeros((0, self.cfg.n_mel))
         audio = np.concatenate(self.audio_chunks) if self.audio_chunks else np.zeros(0, np.int16)
         received = np.vstack(self.received) if self.received else np.zeros((0, 0))

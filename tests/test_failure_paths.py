@@ -82,3 +82,25 @@ def test_decoder_survives_stream_loss(rng):
     assert not t.is_alive()
     spec, audio, received = results["r"]
     assert received.shape[0] == 5 * 32  # everything sent before the loss
+
+
+def test_packet_rebuffer_burst_growth_and_no_aliasing(rng):
+    """Oversized bursts grow the preallocated buffer once; returned packets
+    stay valid after later pushes reuse the buffer."""
+    data = rng.randn(5000, 3).astype(np.float32)
+    rb = PacketRebuffer(32, 3)
+    got, i = [], 0
+    while i < len(data):
+        n = int(rng.randint(1, 3000))  # includes bursts > initial capacity
+        got += rb.push(data[i : i + n])
+        i += n
+    expected = [data[k * 32 : (k + 1) * 32] for k in range(5000 // 32)]
+    assert len(got) == len(expected)
+    for a, b in zip(got, expected):
+        np.testing.assert_array_equal(a, b)
+
+    p = PacketRebuffer(4, 2)
+    outs = p.push(np.arange(8, dtype=np.float32).reshape(4, 2))
+    snap = outs[0].copy()
+    p.push(np.full((8, 2), 99, np.float32))
+    np.testing.assert_array_equal(outs[0], snap)

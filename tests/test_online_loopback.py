@@ -121,3 +121,32 @@ def test_online_loopback_matches_offline(trained_session, tmp_path):
     from closed_loop_seeg_speech_synthesis_tpu.io.session import DecodingRun
     dr = DecodingRun(str(run_dir))
     assert len(dr.words) >= 1
+
+
+def test_pipelined_decoder_matches_blocking(trained_session):
+    """Double-buffered host pipelining (dispatch packet k, materialize k-1)
+    produces byte-identical results to the blocking path."""
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import OnlineDecoder
+
+    session_dir, eeg, eeg_sr = trained_session
+    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=jnp.float64)
+    cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=3, gl_norm=10.0,
+                                 dtype=jnp.float64)
+    dec_params = pipeline.build_decoder_params(cfg, loaded["lda"], loaded["medians"],
+                                               loaded["select"])
+    packets = [eeg[i * 32 : (i + 1) * 32] for i in range(64)]
+
+    outs = {}
+    for pipelined in (False, True):
+        d = OnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
+                          key=jax.random.PRNGKey(0), pipelined=pipelined)
+        for p in packets:
+            d.process_packet(p)
+        outs[pipelined] = d.results()
+
+    spec_a, audio_a, recv_a = outs[False]
+    spec_b, audio_b, recv_b = outs[True]
+    np.testing.assert_array_equal(spec_a, spec_b)
+    np.testing.assert_array_equal(audio_a, audio_b)
+    np.testing.assert_array_equal(recv_a, recv_b)
