@@ -101,8 +101,66 @@ class Experiment1:
         _, reco, orig, wavs = zip(*results)
         return np.vstack(reco), np.vstack(orig), np.hstack(wavs)
 
-    def proposed_method(self, nb_folds=10):
-        reco, orig, decoded_audio = self._run_folds(self._construct_datasets_for_run(nb_folds))
+    def _run_folds_batched(self, args, dtype=None, key=None, nb_feats=150):
+        """All retrain+decode folds as vmapped device programs, grouped by
+        fold shape (uniform KFold => one group, one compilation)."""
+        from .exp1_batched import fold_targets, make_proposed_runner
+
+        dtype = dtype or pipeline.default_compute_dtype()
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        groups = {}  # shape_key -> list of (order_index, fold arg tuple)
+        for i, a in enumerate(args):
+            (k, x_train, y_train, x_test, y_test, eeg_sr, audio_sr, bad, norm) = a
+            shape_key = (x_train.shape, x_test.shape, float(norm))
+            groups.setdefault(shape_key, []).append((i, a))
+
+        recos = [None] * len(args)
+        origs = [None] * len(args)
+        wavs = [None] * len(args)
+        runners = {}
+        for shape_key, members in groups.items():
+            (k0, xt0, yt0, xe0, _, eeg_sr, audio_sr, bad, norm) = members[0][1]
+            mask = np.ones(xt0.shape[1], bool)
+            if len(bad):
+                mask[np.asarray(bad, int)] = False
+            if shape_key not in runners:
+                runners[shape_key] = make_proposed_runner(
+                    xt0.shape[0], xe0.shape[0], int(mask.sum()), float(eeg_sr),
+                    float(norm), nb_feats=nb_feats, dtype=dtype)
+            runner, _ = runners[shape_key]
+
+            xts, xes, qs, yms, meds, keys = [], [], [], [], [], []
+            for _, (k, x_train, y_train, x_test, y_test, *_rest) in members:
+                q, medians, y_mean = fold_targets(y_train)
+                xts.append(np.asarray(x_train, np.float64)[:, mask])
+                xes.append(np.asarray(x_test, np.float64)[:, mask])
+                qs.append(q)
+                yms.append(y_mean)
+                meds.append(medians)
+                # fold id as key stream: matches train_decode_fold's PRNGKey(k)
+                keys.append(jax.random.fold_in(key, k))
+            reco_b, audio_b = runner(
+                jnp.asarray(np.stack(xts), dtype), jnp.asarray(np.stack(xes), dtype),
+                jnp.asarray(np.stack(qs), jnp.int32), jnp.asarray(np.stack(yms), dtype),
+                jnp.asarray(np.stack(meds), dtype), jnp.stack(keys))
+            reco_b, audio_b = np.asarray(reco_b), np.asarray(audio_b)
+            for j, (i, a) in enumerate(members):
+                recos[i] = reco_b[j]
+                origs[i] = a[4]
+                wavs[i] = audio_b[j]
+        return np.vstack(recos), np.vstack(origs), np.hstack(wavs)
+
+    def proposed_method(self, nb_folds=10, batched=True):
+        args = self._construct_datasets_for_run(nb_folds)
+        if batched:
+            try:
+                reco, orig, decoded_audio = self._run_folds_batched(args)
+            except Exception as e:  # pragma: no cover - compiler/runtime dependent
+                logger.warning("batched proposed folds failed (%s); sequential fallback", e)
+                reco, orig, decoded_audio = self._run_folds(args)
+        else:
+            reco, orig, decoded_audio = self._run_folds(args)
         sr = 16000
         wav_dir = os.path.join(self.dest_dir, "reco_wavs")
         os.makedirs(wav_dir, exist_ok=True)

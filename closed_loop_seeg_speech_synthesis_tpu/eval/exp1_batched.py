@@ -40,14 +40,14 @@ def fold_targets(y_train_audio, n_mel=40, nb_intervals=9):
     return q, np.asarray(medians), y_spec.mean(axis=1)
 
 
-def make_chance_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
-                       nb_feats=150, nb_intervals=9, n_mel=40, line_noise=50,
-                       dtype=jnp.float32):
-    """Compile a chance runner for the given fold SHAPES.
+def _make_one_run(train_len, test_len, n_channels, eeg_sr, norm_factor,
+                  nb_feats=150, nb_intervals=9, n_mel=40, line_noise=50,
+                  dtype=jnp.float32):
+    """Shared retrain+decode body for the given fold SHAPES.
 
-    Returns (runner, n_frames) where
-    ``runner(xt (Tt,C), xe (T2,C), q (n,40), y_mean (n,), medians (40,k),
-    shifts (R,), key) -> reco (R, n_frames, n_mel)``.
+    Returns (one_run, n_frames) with
+    ``one_run(xt (Tt,C), xe (T2,C), q (n,40), y_mean (n,), medians (40,k),
+    shift, key) -> (spec (n_frames, n_mel), audio ((n_frames-1)*160,))``.
     """
     cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=n_channels,
                                  gl_norm=float(norm_factor), line_noise=line_noise, dtype=dtype)
@@ -110,13 +110,57 @@ def make_chance_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
             lda=dataclasses.replace(template.lda, intercept=intercept, valid=present),
         )
         rand = gl.default_rand_init(key, n_frames - 1, 0, dtype)
-        spec, _ = pipeline._offline_decode_jit(params, cfg, xe, te_ends_d, rand, window_S, plan)
-        return spec
+        return pipeline._offline_decode_jit(params, cfg, xe, te_ends_d, rand, window_S, plan)
+
+    return one_run, n_frames
+
+
+def make_chance_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
+                       nb_feats=150, nb_intervals=9, n_mel=40, line_noise=50,
+                       dtype=jnp.float32):
+    """Compile a chance runner for the given fold SHAPES.
+
+    Returns (runner, n_frames) where
+    ``runner(xt (Tt,C), xe (T2,C), q (n,40), y_mean (n,), medians (40,k),
+    shifts (R,), key) -> reco (R, n_frames, n_mel)``.
+    """
+    one_run, n_frames = _make_one_run(train_len, test_len, n_channels, eeg_sr,
+                                      norm_factor, nb_feats, nb_intervals, n_mel,
+                                      line_noise, dtype)
 
     @jax.jit
     def runner(xt, xe, q, y_mean, medians, shifts, key):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(shifts.shape[0]))
-        return jax.vmap(lambda s, k: one_run(xt, xe, q, y_mean, medians, s, k))(shifts, keys)
+        return jax.vmap(lambda s, k: one_run(xt, xe, q, y_mean, medians, s, k)[0])(shifts, keys)
+
+    return runner, n_frames
+
+
+def make_proposed_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
+                         nb_feats=150, nb_intervals=9, n_mel=40, line_noise=50,
+                         dtype=jnp.float32):
+    """Compile the proposed-method fold sweep for the given fold SHAPES.
+
+    All retrain+decode folds run as ONE vmapped program (the reference
+    serializes them through ThreadPool(1), exp1.py:105-131).  Each fold
+    differs from a chance run only by not circularly shifting the training
+    sEEG and by its own quantization targets — both enter as arguments.
+
+    Returns (runner, n_frames) where
+    ``runner(xts (K,Tt,C), xes (K,T2,C), qs (K,n,40), y_means (K,n),
+    medians (K,40,k), keys (K,2)) ->
+    (reco (K, n_frames, n_mel), audio (K, (n_frames-1)*160))``.
+    """
+    one_run, n_frames = _make_one_run(train_len, test_len, n_channels, eeg_sr,
+                                      norm_factor, nb_feats, nb_intervals, n_mel,
+                                      line_noise, dtype)
+
+    @jax.jit
+    def runner(xts, xes, qs, y_means, medians, keys):
+        zero = jnp.zeros((), jnp.int32)
+        return jax.vmap(lambda xt, xe, q, ym, med, k:
+                        one_run(xt, xe, q, ym, med, zero, k))(
+            xts, xes, qs, y_means, medians, keys)
 
     return runner, n_frames
 

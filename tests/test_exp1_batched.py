@@ -68,3 +68,36 @@ def test_chance_level_batched_api(session, tmp_path):
                                          dtype=jnp.float64, save=False, nb_feats=10)
     assert means.shape == (40,) and stds.shape == (40,)
     assert np.isfinite(means).any()
+
+
+def test_batched_proposed_matches_sequential(session, tmp_path):
+    """Vmapped proposed-fold sweep == sequential per-fold retrain+decode
+    (spectrograms; GL audio uses independent keys and is checked for shape)."""
+    cfg = configparser.ConfigParser()
+    cfg["Experiment1"] = {"griffin_lim_norm": "10"}
+    e = exp1_mod.Experiment1(cfg, session, str(tmp_path), rng=np.random.RandomState(4))
+    args = e._construct_datasets_for_run(nb_folds=2, randomize=False)
+
+    reco_b, orig_b, audio_b = e._run_folds_batched(args, dtype=jnp.float64, nb_feats=10)
+    results = [exp1_mod.train_decode_fold(*a, dtype=jnp.float64, nb_feats=10)
+               for a in args]
+    reco_s = np.vstack([r[1] for r in results])
+    orig_s = np.vstack([r[2] for r in results])
+    audio_s = np.hstack([r[3] for r in results])
+
+    assert reco_b.shape == reco_s.shape
+    np.testing.assert_array_equal(orig_b, orig_s)
+    assert audio_b.shape == audio_s.shape
+    agree = np.isclose(reco_b, reco_s, rtol=1e-6, atol=1e-9).mean()
+    assert agree > 0.99, f"agreement {agree}"
+
+
+def test_proposed_method_batched_end_to_end(session, tmp_path):
+    cfg = configparser.ConfigParser()
+    cfg["Experiment1"] = {"griffin_lim_norm": "10"}
+    e = exp1_mod.Experiment1(cfg, session, str(tmp_path), rng=np.random.RandomState(6))
+    corrs = e.proposed_method(nb_folds=2)
+    assert np.isfinite(np.asarray(corrs)).any()
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "pm_reco.npy"))
+    assert os.path.exists(os.path.join(str(tmp_path), "reco_wavs"))
