@@ -22,21 +22,79 @@ import numpy as np
 logger = logging.getLogger("runtime.audio")
 
 
-class BoundedBlockQueue:
-    """Reblocks an int16 sample stream into fixed blocks; at most
-    ``max_blocks`` queued, overflow dropped and counted."""
+class StreamingResampler:
+    """Streaming windowed-sinc sample-rate converter with carried state.
 
-    def __init__(self, block_size: int = 256, max_blocks: int = 8):
+    Host-side twin of the reference's libsamplerate ``sinc_fastest`` streaming
+    resampler (JackAudioSink.py:58,125): arbitrary (including fractional)
+    ratios, chunk-size invariant — feeding the same stream in different chunk
+    splits yields the identical output sequence.  The kernel is a Hann-windowed
+    sinc with ``half`` taps of one-sided support at the lower of the two
+    Nyquist rates.
+    """
+
+    def __init__(self, ratio: float, half: int = 16):
+        if ratio <= 0:
+            raise ValueError(f"resample ratio must be positive, got {ratio}")
+        self.ratio = float(ratio)
+        self.half = int(half)
+        # zero prehistory: the first output is centered on input sample 0
+        self._hist = np.zeros(self.half, np.float32)
+        self._pos = -self.half          # absolute input index of _hist[0]
+        self._next_t = 0.0              # absolute input-time of next output
+        # anti-alias cutoff at the lower Nyquist (only bites when ratio < 1)
+        self._cut = min(1.0, self.ratio)
+
+    def _kernel(self, frac):
+        """(n_out, 2*half) windowed-sinc taps at fractional offsets ``frac``."""
+        j = np.arange(-self.half + 1, self.half + 1, dtype=np.float64)  # tap offsets
+        x = j[None, :] - frac[:, None]                                  # distance to center
+        k = self._cut * np.sinc(self._cut * x)
+        w = 0.5 + 0.5 * np.cos(np.pi * np.clip(x / self.half, -1.0, 1.0))
+        k *= w
+        return (k / k.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        chunk = np.asarray(chunk, np.float32).ravel()
+        if chunk.size:
+            self._hist = np.concatenate([self._hist, chunk])
+        # outputs at t need inputs up to floor(t)+half
+        last_avail = self._pos + len(self._hist) - 1
+        n_out = int(np.floor((last_avail - self.half - self._next_t) * self.ratio)) + 1
+        if n_out <= 0:
+            return np.zeros(0, np.float32)
+        t = self._next_t + np.arange(n_out, dtype=np.float64) / self.ratio
+        base = np.floor(t).astype(np.int64)
+        frac = t - base
+        rel = base - self._pos                                   # center index in _hist
+        idx = rel[:, None] + np.arange(-self.half + 1, self.half + 1)
+        y = np.einsum("ot,ot->o", self._hist[idx], self._kernel(frac)).astype(np.float32)
+        self._next_t = self._next_t + n_out / self.ratio
+        # trim history: future outputs never reach before floor(next_t)-half+1
+        keep_from = int(np.floor(self._next_t)) - self.half + 1
+        cut = max(0, keep_from - self._pos)
+        if cut:
+            self._hist = self._hist[cut:]
+            self._pos += cut
+        return y
+
+
+class BoundedBlockQueue:
+    """Reblocks a sample stream into fixed blocks; at most ``max_blocks``
+    queued, overflow dropped and counted."""
+
+    def __init__(self, block_size: int = 256, max_blocks: int = 8, dtype=np.int16):
         self.block_size = block_size
         self.max_blocks = max_blocks
-        self._accum = np.zeros(0, np.int16)
+        self.dtype = dtype
+        self._accum = np.zeros(0, dtype)
         self._q = collections.deque()
         self._lock = threading.Lock()
         self.dropped_blocks = 0
         self.xruns = 0
 
     def push(self, samples: np.ndarray) -> None:
-        self._accum = np.concatenate([self._accum, np.asarray(samples, np.int16)])
+        self._accum = np.concatenate([self._accum, np.asarray(samples, self.dtype)])
         while len(self._accum) >= self.block_size:
             block, self._accum = self._accum[: self.block_size], self._accum[self.block_size :]
             with self._lock:
@@ -104,31 +162,64 @@ class WavFileSink:
 
 
 class JackSink:
-    """JACK playout (Linux lab machines); requires the ``jack`` module +
-    ``samplerate`` for device-rate resampling, mirroring JackAudioSink.py."""
+    """JACK playout (the reference's Linux lab path, JackAudioSink.py).
 
-    def __init__(self, orig_sample_rate=16000, block_size=256, max_blocks=8):
-        import jack  # noqa: F401 — raises if unavailable, caller falls back
+    Decoded 16 kHz int16 audio is sinc-resampled to the JACK server rate in
+    a streaming fashion (JackAudioSink.py:58,125), re-blocked to the client
+    block size into the bounded-drop queue, and the mono output port is
+    connected to the first two physical playback ports — mono to both stereo
+    speakers (JackAudioSink.py:97-100)."""
 
-        self.queue = BoundedBlockQueue(block_size, max_blocks)
-        self._client = __import__("jack").Client("seeg_synth")
-        self._out = self._client.outports.register("out_0")
-        self._ratio = self._client.samplerate / float(orig_sample_rate)
+    def __init__(self, orig_sample_rate=16000, block_size=256, max_blocks=8,
+                 allow_fractional_resample=True, client_name="seeg_synth"):
+        import jack  # raises if unavailable, caller falls back
+
+        self._client = jack.Client(client_name)
+        try:
+            self._client.blocksize = block_size
+        except Exception:
+            pass  # some servers fix the block size; use theirs
+        bs = int(getattr(self._client, "blocksize", 0)) or block_size
+        rate = float(self._client.samplerate)
+        self._ratio = rate / float(orig_sample_rate)
+        if not allow_fractional_resample and rate % orig_sample_rate != 0:
+            raise ValueError(
+                f"JACK rate {rate} not divisible by source rate {orig_sample_rate}"
+            )
+        self._resampler = StreamingResampler(self._ratio)
+        self.queue = BoundedBlockQueue(bs, max_blocks, dtype=np.float32)
+        self._out = self._client.outports.register("audio_out")
 
         @self._client.set_process_callback
         def process(frames):  # pragma: no cover — needs a JACK server
-            block = self.queue.pop()
-            buf = self._out.get_array()
-            if block is None:
-                buf[:] = 0.0
-            else:
-                n = min(len(buf), len(block))
-                buf[:n] = block[:n].astype(np.float32) / 32768.0
+            self._on_process(frames)
 
         self._client.activate()
+        # mono -> both physical playback ports (JackAudioSink.py:97-100)
+        try:
+            targets = self._client.get_ports(is_physical=True, is_input=True,
+                                             is_audio=True)
+            for t in targets[:2]:
+                self._out.connect(t)
+        except Exception as e:
+            logger.warning("could not connect JACK playback ports: %s", e)
+
+    def _on_process(self, frames):
+        block = self.queue.pop()
+        buf = self._out.get_array()
+        if block is None:
+            buf[:] = 0.0
+        else:
+            n = min(len(buf), len(block))
+            buf[:n] = block[:n]
+            if n < len(buf):
+                buf[n:] = 0.0
 
     def write(self, samples):
-        self.queue.push(samples)
+        x = np.asarray(samples, np.float32) / 32768.0
+        y = self._resampler.process(x)
+        if len(y):
+            self.queue.push(np.clip(y, -1.0, 1.0))
 
     def close(self):
         self._client.deactivate()
