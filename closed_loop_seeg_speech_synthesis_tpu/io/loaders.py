@@ -130,6 +130,6 @@ def load_speech_file(path, return_markers=False):
     ext = os.path.splitext(path)[1][1:].lower()
     if ext in ("h5", "hdf", "hdf5"):
         return load_hdf5(path, return_markers)
-    if ext == "xdf":
+    if ext in ("xdf", "xdfz"):
         return load_xdf_recording(path, return_markers)
     raise ValueError(f"unknown recording format: .{ext}")

@@ -141,29 +141,89 @@ def _parse_samples(buf, stream: _Stream):
     return ts, values
 
 
-def _apply_clock_sync(stream: _Stream, ts: np.ndarray) -> np.ndarray:
-    if not stream.clock_times:
-        return ts
-    ct = np.asarray(stream.clock_times)
-    cv = np.asarray(stream.clock_values)
+def _detect_clock_resets(ct: np.ndarray, cv: np.ndarray,
+                         time_stds=5.0, time_seconds=5.0,
+                         value_stds=10.0, value_seconds=1.0):
+    """Segment the clock-offset series at resets (computer restart /
+    hot-swap mid-recording, reference ``local/xdf.py:439-497``).
+
+    A reset is a point where BOTH the measurement times glitch (go backwards,
+    or jump by more than ``time_stds`` MADs AND ``time_seconds``) and the
+    offset values glitch (same criteria with the value thresholds).  Returns
+    a list of (start, end) index ranges into ct/cv, end inclusive.
+    """
+    if len(ct) < 2:
+        return [(0, len(ct) - 1)]
+    dt = np.diff(ct)
+    dv = np.abs(np.diff(cv))
+    med_dt, med_dv = np.median(dt), np.median(dv)
+    mad_t = np.median(np.abs(dt - med_dt)) + np.finfo(float).eps
+    mad_v = np.median(np.abs(dv - med_dv)) + np.finfo(float).eps
+    time_glitch = (dt < 0) | (((dt - med_dt) / mad_t > time_stds)
+                              & (dt - med_dt > time_seconds))
+    value_glitch = (np.diff(cv) < 0) | (((dv - med_dv) / mad_v > value_stds)
+                                        & (dv - med_dv > value_seconds))
+    resets = np.where(time_glitch & value_glitch)[0]
+    if resets.size == 0:
+        return [(0, len(ct) - 1)]
+    bounds = np.concatenate([[0], resets + 1, [len(ct)]])
+    return [(int(bounds[i]), int(bounds[i + 1] - 1)) for i in range(len(bounds) - 1)]
+
+
+def _fit_offset(ct: np.ndarray, cv: np.ndarray):
+    """Trimmed least squares offset(t) = a + b*(t - ct[0]); robust enough for
+    the monotone drift LSL clock offsets exhibit.  Returns (a, b, t0)."""
     if len(ct) < 2 or np.ptp(ct) == 0:
-        return ts + np.median(cv)
-    # trimmed least squares (drop worst 20% residuals once) — robust enough
-    # for the monotone drift LSL clock offsets exhibit
+        return float(np.median(cv)), 0.0, float(ct[0]) if len(ct) else 0.0
     A = np.stack([np.ones_like(ct), ct - ct[0]], axis=1)
     coef, *_ = np.linalg.lstsq(A, cv, rcond=None)
     resid = np.abs(A @ coef - cv)
     keep = resid <= np.quantile(resid, 0.8)
     if keep.sum() >= 2:
         coef, *_ = np.linalg.lstsq(A[keep], cv[keep], rcond=None)
-    return ts + coef[0] + coef[1] * (ts - ct[0])
+    return float(coef[0]), float(coef[1]), float(ct[0])
+
+
+def _apply_clock_sync(stream: _Stream, ts: np.ndarray,
+                      handle_clock_resets=True) -> np.ndarray:
+    if not stream.clock_times or ts.size == 0:
+        return ts
+    ct = np.asarray(stream.clock_times)
+    cv = np.asarray(stream.clock_values)
+    ranges = (_detect_clock_resets(ct, cv) if handle_clock_resets
+              else [(0, len(ct) - 1)])
+    if len(ranges) == 1:
+        a, b, t0 = _fit_offset(ct, cv)
+        return ts + a + b * (ts - t0)
+    # A reset restarts the source clock, so sample timestamps jump backwards
+    # at the same recording instant the offset series does.  Split the
+    # samples at their own backwards jumps (file order == recording order)
+    # and pair sample segments with clock segments chronologically; on a
+    # count mismatch fall back to nearest-interval assignment.
+    fits = [_fit_offset(ct[s : e + 1], cv[s : e + 1]) for s, e in ranges]
+    jumps = np.where(np.diff(ts) < -1.0)[0] + 1
+    sample_segs = np.split(np.arange(len(ts)), jumps)
+    out = ts.copy()
+    if len(sample_segs) == len(ranges):
+        for seg, (a, b, t0) in zip(sample_segs, fits):
+            out[seg] = ts[seg] + a + b * (ts[seg] - t0)
+        return out
+    spans = [(ct[s], ct[e]) for s, e in ranges]
+    for seg in sample_segs:
+        mid = float(np.median(ts[seg]))
+        dists = [max(lo - mid, 0.0, mid - hi) for lo, hi in spans]
+        a, b, t0 = fits[int(np.argmin(dists))]
+        out[seg] = ts[seg] + a + b * (ts[seg] - t0)
+    return out
 
 
 def _dejitter(ts: np.ndarray, srate: float) -> np.ndarray:
     if srate <= 0 or len(ts) < 2:
         return ts
-    # split at gaps > 1 s or 500 sample intervals (spec recommendation)
-    gaps = np.where(np.diff(ts) > max(1.0, 500 * (1.0 / srate)))[0] + 1
+    # split at gaps > 1 s or 500 sample intervals (spec recommendation) and
+    # at backwards jumps (clock resets must not be smeared by the fit)
+    d = np.diff(ts)
+    gaps = np.where((d > max(1.0, 500 * (1.0 / srate))) | (d < 0))[0] + 1
     out = ts.copy()
     for seg in np.split(np.arange(len(ts)), gaps):
         if len(seg) < 2:
@@ -175,10 +235,19 @@ def _dejitter(ts: np.ndarray, srate: float) -> np.ndarray:
     return out
 
 
-def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True):
-    """Parse an XDF file.  Returns (streams, fileheader) like pyxdf."""
+def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True,
+             handle_clock_resets=True):
+    """Parse an XDF (or gzipped .xdfz) file.
+
+    Returns (streams, fileheader) like pyxdf.  ``handle_clock_resets``
+    segments the clock-offset series at computer restarts / hot-swaps and
+    fits offsets per segment (reference ``local/xdf.py:439-526``)."""
     with open(filename, "rb") as f:
         data = f.read()
+    if data[:2] == b"\x1f\x8b":  # gzip magic: .xdfz container
+        import gzip
+
+        data = gzip.decompress(data)
     if data[:4] != b"XDF:":
         raise ValueError(f"{filename} is not an XDF file")
     pos = 4
@@ -227,7 +296,7 @@ def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True):
         if dejitter_timestamps:
             ts = _dejitter(ts, st.srate)
         if synchronize_clocks:
-            ts = _apply_clock_sync(st, ts)
+            ts = _apply_clock_sync(st, ts, handle_clock_resets)
         stream_dict = dict(st.info)
         out.append({"info": stream_dict, "time_series": series, "time_stamps": ts})
     return out, fileheader

@@ -154,3 +154,64 @@ def test_channel_selection_and_audio_squeeze(rng):
     ints = (rng.randn(100) * 1000).astype(np.int16)
     out = utils.squeeze_audio_to_float64(ints)
     assert out.dtype == np.float64 and np.abs(out).max() <= 1.0
+
+
+def test_xdf_clock_reset_segments(tmp_path, rng):
+    """A mid-recording computer restart (source clock resets to ~0, offset
+    series glitches) gets per-segment offset fits: corrected timestamps are
+    continuous in recorder time (local/xdf.py:439-526 semantics)."""
+    sr = 256
+    eeg1 = rng.randn(512, 2).astype(np.float32)   # 2 s before the reset
+    eeg2 = rng.randn(512, 2).astype(np.float32)   # 2 s after the reset
+    blob = b"XDF:" + _chunk(1, b"<info><version>1.0</version></info>")
+    blob += _stream_header(1, "Micromed", "EEG", 2, sr, "float32")
+    # segment 1: source clock at ~1000, offset +5 (recorder = source + 5)
+    for t in (1000.0, 1001.0, 1002.0):
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 5.0))
+    blob += _numeric_samples(1, eeg1, 1000.0, sr)
+    # reset: source clock restarts near 0; recorder kept running, so the
+    # offset jumps to ~1007 (recorder = source + 1007).  Measurement times
+    # jump backwards (time glitch) and the offset jumps by ~1002 s
+    # (value glitch via the large-jump branch) -> reset detected.
+    for t in (1.0, 2.0, 3.0):
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 1007.0))
+    blob += _numeric_samples(1, eeg2, 1.0, sr)
+    path = str(tmp_path / "reset.xdf")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    streams, _ = xdf.load_xdf(path)
+    ts = streams[0]["time_stamps"]
+    assert len(ts) == 1024
+    # segment 1 maps 1000 -> 1005; segment 2 maps 1 -> 1008
+    np.testing.assert_allclose(ts[0], 1005.0, atol=1e-6)
+    np.testing.assert_allclose(ts[512], 1008.0, atol=1e-6)
+    # recorder-time is monotone across the whole recording after correction
+    assert np.all(np.diff(ts) > 0)
+
+    # without reset handling the single global fit corrupts both halves
+    streams_off, _ = xdf.load_xdf(path, handle_clock_resets=False)
+    ts_off = streams_off[0]["time_stamps"]
+    assert not np.all(np.diff(ts_off) > 0) or abs(ts_off[0] - 1005.0) > 0.5
+
+
+def test_xdfz_gzip_roundtrip(tmp_path, rng):
+    """.xdfz (gzipped) containers open transparently."""
+    import gzip
+
+    eeg_sr, audio_sr = 1024, 48000
+    eeg = rng.randn(1024, 4).astype(np.float32)
+    audio = (0.1 * rng.randn(48000)).astype(np.float32)
+    markers = [(100.5, "experimentStarted"), (102.0, "experimentEnded")]
+    plain = str(tmp_path / "rec.xdf")
+    write_test_xdf(plain, eeg, eeg_sr, audio, audio_sr, markers, ["A1", "A2", "B1", "B2"])
+    zpath = str(tmp_path / "rec.xdfz")
+    with open(plain, "rb") as f, gzip.open(zpath, "wb") as g:
+        g.write(f.read())
+
+    sp, _ = xdf.load_xdf(plain)
+    sz, _ = xdf.load_xdf(zpath)
+    for a, b in zip(sp, sz):
+        np.testing.assert_array_equal(a["time_stamps"], b["time_stamps"])
+        if isinstance(a["time_series"], np.ndarray):
+            np.testing.assert_array_equal(a["time_series"], b["time_series"])
