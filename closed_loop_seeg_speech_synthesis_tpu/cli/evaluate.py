@@ -67,6 +67,7 @@ def main(argv=None):
         os.makedirs(dest, exist_ok=True)
         np.save(os.path.join(dest, "activations.npy"), matrix)
         exp.plot(matrix, os.path.join(dest, "activations.png"))
+        exp.plot_activation_map(matrix, os.path.join(dest, "activation_map.png"))
 
     elif args.step == "figure3":
         from ..eval.figures import figure_3

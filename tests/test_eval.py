@@ -119,12 +119,25 @@ def test_exp1_mini(mini_session, tmp_path):
     assert wav.dtype == np.int16 and len(wav) == (400 - 1) * 160
 
 
-def test_exp4_mini(mini_session):
+def test_exp4_mini(mini_session, tmp_path):
     session_dir, rng = mini_session
     e = exp4_mod.Experiment4(session_dir, channel_names=[f"c{i}" for i in range(5)])
     matrix = e.compute_activations()
     assert matrix.shape == (5, 5)
     assert np.isfinite(matrix).all() and (matrix != 0).any()
+    # selection mask marks exactly the selected features on the grid
+    mask = e.selection_mask()
+    assert mask.sum() == len(e.sel_features)
+    assert ((matrix != 0) <= mask).all()
+    # shafts from name prefixes: 'c0'..'c4' is one 5-wide shaft
+    assert e.shaft_spans() == [("c", 0, 5)]
+    # paper figure renders with the computed boundary + shaft patches
+    out = str(tmp_path / "activation_map.png")
+    e.plot_activation_map(matrix, out)
+    assert os.path.getsize(out) > 0
+    # excluded shaft -> empty grid must still not crash the renderer
+    e2 = exp4_mod.Experiment4(session_dir, channel_names=[f"c{i}" for i in range(5)])
+    e2.plot_activation_map(matrix, str(tmp_path / "am2.png"), exclude_shafts=())
 
 
 def test_exp3_mini(mini_session, tmp_path):

@@ -64,6 +64,7 @@ def test_evaluate_exp4(eval_ws):
     eval_cli.main([cfg_path, "exp4"])
     out = root / "eval_out" / "tiny" / "exp4"
     assert (out / "activations.npy").exists() and (out / "activations.png").exists()
+    assert (out / "activation_map.png").exists()
 
 
 def test_evaluate_exp3_and_extract(eval_ws):
