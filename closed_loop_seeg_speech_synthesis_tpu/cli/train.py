@@ -117,6 +117,22 @@ def main(argv=None):
     logger.info("Using channels: [%s]", " ".join(c for c in ch_names if c not in bad_channels))
     logger.info("Excluding bad channel indices: [%s]", " ".join(map(str, bad_idx)))
 
+    # headless twin of the reference's interactive channel view
+    # (train.py:328-334): PSD/variance QC report instead of a blocking GUI
+    if (config.getboolean("Training", "show_interactive_channel_view", fallback=False)
+            or config.getboolean("Training", "inspect_channels", fallback=False)):
+        from ..io.inspection import inspect_channels
+
+        suspects = inspect_channels(
+            eeg, eeg_sr, ch_names, bad_idx,
+            os.path.join(session_dir, "channel_inspection.png"),
+            os.path.join(session_dir, "channel_report.csv"),
+            line_noise=line_noise)
+        if suspects:
+            logger.warning("%d suspect channel(s) flagged — see channel_report.csv; "
+                           "extend the 'channels' exclusion patterns to drop them",
+                           len(suspects))
+
     result = trainer.train(eeg, audio, eeg_sr, audio_sr, bad_idx, line_noise=line_noise)
     for b, missing in result.missing.items():
         logger.info('Spec_bin "%d" misses samples for interval index/indices "%s"', b, missing)

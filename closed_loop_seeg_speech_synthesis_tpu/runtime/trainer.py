@@ -105,11 +105,13 @@ def train(eeg: np.ndarray, audio: np.ndarray, eeg_sr: float, audio_sr: float,
         if diff.size:
             missing[b] = diff.tolist()
 
+    # features and audio spectrogram can differ by a frame at the recording
+    # tail; clamp BEFORE the Spearman selection (train.py clamps at 144-147)
+    n = min(len(x_train), len(y_spec))
+    x_train, y_spec, q_spec = x_train[:n], y_spec[:n], q_spec[:n]
+
     select = selection.select_features(jnp.asarray(x_train), jnp.asarray(y_spec), nb_feats)
     x_sel = x_train[:, select]
-
-    n = min(len(x_sel), len(q_spec))
-    x_sel, q_spec = x_sel[:n], q_spec[:n]
     lda_params = lda_mod.fit(jnp.asarray(x_sel), q_spec, nb_intervals)
     return TrainResult(
         x_train=x_sel, y_train=q_spec,

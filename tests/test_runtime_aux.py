@@ -66,3 +66,68 @@ def test_figures_smoke(tmp_path, rng):
     stats = figure_3(str(tmp_path), str(out), n_chance_runs=2)
     assert out.exists()
     assert len(stats) == 40 and all(np.isfinite(s[2]) for s in stats)
+
+
+def test_channel_inspection(tmp_path):
+    """Headless channel QC: railed/dead/line-dominated channels are flagged,
+    artifacts written (substitute for train.py:328-334's interactive view)."""
+    import numpy as np
+    from closed_loop_seeg_speech_synthesis_tpu.io.inspection import (
+        channel_stats, flag_suspects, inspect_channels)
+
+    rng = np.random.RandomState(0)
+    sr = 1024
+    t = np.arange(10 * sr) / sr
+    good = rng.randn(len(t), 4)
+    railed = np.clip(5 * np.sin(2 * np.pi * 0.5 * t), -0.8, 0.8)[:, None]
+    railed[np.abs(railed) >= 0.8] = 0.8           # long flat runs
+    dead = np.full((len(t), 1), 1e-12)
+    mains = (5.0 * np.sin(2 * np.pi * 50 * t))[:, None] + 0.01 * rng.randn(len(t), 1)
+    eeg = np.hstack([good, railed, dead, mains])
+
+    stats = channel_stats(eeg, sr, seconds=10, line_noise=50)
+    sus = flag_suspects(stats)
+    assert "railed" in sus.get(4, [])
+    assert "dead" in sus.get(5, [])
+    assert "line-dominated" in sus.get(6, [])
+    assert all(i not in sus for i in range(4))
+
+    png = tmp_path / "insp.png"
+    csv = tmp_path / "report.csv"
+    out = inspect_channels(eeg, sr, [f"ch{i}" for i in range(7)], [5],
+                           str(png), str(csv), seconds=10)
+    assert png.exists() and csv.exists()
+    rows = open(csv).read().splitlines()
+    assert rows[0].startswith("index,name,std")
+    assert len(rows) == 8
+    assert set(out) == set(sus)
+
+
+def test_train_cli_inspection_artifact(tmp_path):
+    """inspect_channels=True config writes channel_inspection.png before
+    training."""
+    import numpy as np
+    from closed_loop_seeg_speech_synthesis_tpu.cli import train as train_cli
+    from closed_loop_seeg_speech_synthesis_tpu.io import loaders
+
+    rng = np.random.RandomState(3)
+    sr, audio_sr = 1024, 48000
+    eeg = rng.randn(10 * sr, 4)
+    audio = 0.1 * rng.randn(10 * audio_sr)
+    rec = tmp_path / "speech1.hdf"
+    loaders.save_hdf5(str(rec), eeg, sr, audio, audio_sr,
+                      ch_names=[f"A{i}" for i in range(4)])
+    cfg = tmp_path / "exp.ini"
+    cfg.write_text(f"""[General]
+storage_dir = {tmp_path}/storage
+session = insp
+[Training]
+file = {rec}
+overwrite_on_rerun = True
+inspect_channels = True
+""")
+    train_cli.main([str(cfg)])
+    sess = tmp_path / "storage" / "insp"
+    assert (sess / "channel_inspection.png").exists()
+    assert (sess / "channel_report.csv").exists()
+    assert (sess / "params.h5").exists()
