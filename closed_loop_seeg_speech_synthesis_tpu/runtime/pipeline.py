@@ -38,6 +38,9 @@ from ..ops import framing, iir, quantization, smoothing
 from ..ops import griffinlim as gl
 
 
+_HI = jax.lax.Precision.HIGHEST  # keep f32 accumulation on the TPU MXU
+
+
 def default_compute_dtype():
     """float32 on accelerators (enables the fused pallas paths); float64 on
     CPU, enabling x64 so the golden numerics are actually computed — without
@@ -82,6 +85,19 @@ class DecoderConfig:
     # Fused filter-chain + log-power kernel (raw sEEG read from HBM once,
     # boundary state carried in scratch across the sequential TPU grid).
     use_pallas_frontend: bool = True
+    # Fuse the rest of the decode path (context stack + LDA + dequant +
+    # smooth) into the front-end kernel's epilogue: features and stacked
+    # context never reach HBM, only (P, n_mel) rows per period are written.
+    # "auto" = on from 192 channels up — the HBM-traffic saving beats the
+    # sequential-grid serialization of the tiny per-period epilogue matmuls
+    # at high channel counts (256ch: +19% measured), and loses below.
+    use_pallas_epilogue: Any = "auto"
+
+    @property
+    def fused_epilogue(self) -> bool:
+        if self.use_pallas_epilogue == "auto":
+            return self.n_channels >= 192
+        return bool(self.use_pallas_epilogue)
 
     @property
     def win(self) -> int:
@@ -218,7 +234,8 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
     the median lookup runs as a one-hot contraction — both MXU/VPU friendly,
     no gathers on the hot path.
     """
-    scores = jnp.einsum("td,bkd->tbk", stacked, params.lda_coef_full) + params.lda.intercept[None]
+    scores = jnp.einsum("td,bkd->tbk", stacked, params.lda_coef_full,
+                        precision=_HI) + params.lda.intercept[None]
     neg = jnp.asarray(-jnp.inf, scores.dtype)
     scores = jnp.where(params.lda.valid[None], scores, neg)
     slot = jnp.argmax(scores, axis=-1)                      # (N, n_mel) class slots
@@ -226,7 +243,7 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
     onehot_slot = jax.nn.one_hot(slot, params.lda.classes.shape[1], dtype=stacked.dtype)
     label = jnp.einsum("tbk,bk->tb", onehot_slot, params.lda.classes.astype(stacked.dtype))
     onehot_lab = jax.nn.one_hot(label.astype(jnp.int32), params.medians.shape[1], dtype=stacked.dtype)
-    deq = jnp.einsum("tbk,bk->tb", onehot_lab, params.medians)
+    deq = jnp.einsum("tbk,bk->tb", onehot_lab, params.medians, precision=_HI)
     return smoothing.gaussian_smooth(deq, params.gauss_kernel)
 
 
@@ -242,7 +259,23 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
     use_fused = (cfg.use_pallas_frontend and cfg.dtype == jnp.float32
                  and jax.default_backend() == "tpu"
                  and params.frontend_ops is not None and frame_plan is not None)
-    if use_fused:
+    if use_fused and cfg.fused_epilogue:
+        # fully fused: eeg -> mel frames in one kernel (filter chain,
+        # log-power, context stack, LDA, dequant, smooth); features/stacked
+        # context never reach HBM
+        from ..ops.pallas_frontend import epilogue_constants, frontend_decode_mels
+
+        n_frames = frame_plan[3]
+        x = eeg.astype(cfg.dtype)
+        s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+        W5, bm, med_slot, smoothM = epilogue_constants(
+            params.lda_coef_full, params.lda.intercept, params.lda.valid,
+            params.lda.classes, params.medians, params.gauss_kernel,
+            cfg.n_channels, cfg.model_order)
+        mel_frames = frontend_decode_mels(params.frontend_ops, x, s0, W5, bm,
+                                          med_slot, smoothM, n_frames,
+                                          cfg.model_order, cfg.step_size)
+    elif use_fused:
         from ..ops.pallas_frontend import frontend_logpower
 
         n_frames = frame_plan[3]
@@ -256,8 +289,9 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
     else:
         s_cat, _ = _streaming_filter_chain(params, cfg, eeg)
         F = framing.windowed_logpower(s_cat, ends, cfg.win)
-    stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
-    mel_frames = _frames_to_mel(params, stacked)
+    if not (use_fused and cfg.fused_epilogue):
+        stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
+        mel_frames = _frames_to_mel(params, stacked)
 
     if cfg.use_pallas_gl and cfg.dtype == jnp.float32 and jax.default_backend() == "tpu":
         from ..ops.pallas_gl import gl_blocks_pallas

@@ -44,3 +44,91 @@ def test_pallas_frontend_matches_jnp(rng, sr):
     s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
     F_p = np.asarray(frontend_logpower(params.frontend_ops, x, s0, nf, interpret=True))
     np.testing.assert_allclose(F_p, F_ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("sr", [1024.0, 2048.0])
+def test_pallas_fused_epilogue_matches_jnp(rng, sr):
+    """Fully fused eeg->mel kernel == filter/framing/stack/LDA/dequant/smooth
+    jnp pipeline (includes missing-class masking and argmax tie semantics)."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_frontend import (
+        epilogue_constants, frontend_decode_mels)
+
+    C = 8
+    T = int(sr * 2)
+    eeg = rng.randn(T, C).astype(np.float32)
+    n_feats = 20
+    coef = rng.randn(40, 9, n_feats) * 0.3
+    valid = np.ones((40, 9), bool)
+    valid[7, 1] = False   # a bin with a missing interval (train.py:86-91)
+    valid[14, 8] = False
+    lda = lda_mod.LDAParams(
+        coef=jnp.asarray(coef, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.asarray(valid),
+    )
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    select = rng.permutation(5 * C)[:n_feats]
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=C, dtype=jnp.float32)
+    params = pipeline.build_decoder_params(cfg, lda, medians, select)
+    assert params.frontend_ops is not None
+
+    ends = framing.streaming_frame_ends(50, 10, sr, T + cfg.prefill)
+    nf = len(ends)
+
+    # jnp reference: same f32 pipeline
+    s_cat, _ = pipeline._streaming_filter_chain(params, cfg, jnp.asarray(eeg))
+    F = framing.windowed_logpower(s_cat, jnp.asarray(ends, jnp.int32), cfg.win)
+    stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
+    mel_ref = np.asarray(pipeline._frames_to_mel(params, stacked))
+
+    x = jnp.asarray(eeg)
+    s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+    W5, bm, med_slot, smoothM = epilogue_constants(
+        params.lda_coef_full, params.lda.intercept, params.lda.valid,
+        params.lda.classes, params.medians, params.gauss_kernel, C)
+    mel_p = np.asarray(frontend_decode_mels(params.frontend_ops, x, s0, W5, bm,
+                                            med_slot, smoothM, nf, interpret=True))
+    assert mel_p.shape == mel_ref.shape == (nf, 40)
+    # different contraction order -> rare argmax flips at near-ties; demand
+    # near-total agreement and no systematic deviation
+    agree = np.isclose(mel_p, mel_ref, rtol=1e-5, atol=1e-6).mean()
+    assert agree > 0.999, f"agreement {agree}"
+
+
+def test_pallas_fused_epilogue_invalid_never_selected(rng):
+    """Slots masked invalid must never win the argmax in the fused kernel."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_frontend import (
+        epilogue_constants, frontend_decode_mels)
+
+    C, sr = 8, 1024.0
+    T = int(sr * 1)
+    eeg = rng.randn(T, C).astype(np.float32)
+    n_feats = 10
+    # bin 3: only class 5 valid -> output must be exactly medians[3, 5] smoothed
+    valid = np.zeros((40, 9), bool)
+    valid[:, :] = True
+    valid[3, :] = False
+    valid[3, 5] = True
+    coef = rng.randn(40, 9, n_feats)
+    lda = lda_mod.LDAParams(
+        coef=jnp.asarray(coef, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.asarray(valid),
+    )
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=C, dtype=jnp.float32)
+    params = pipeline.build_decoder_params(cfg, lda, medians, rng.permutation(5 * C)[:n_feats])
+    ends = framing.streaming_frame_ends(50, 10, sr, T + cfg.prefill)
+    x = jnp.asarray(eeg)
+    s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+    W5, bm, med_slot, smoothM = epilogue_constants(
+        params.lda_coef_full, params.lda.intercept, params.lda.valid,
+        params.lda.classes, params.medians, params.gauss_kernel, C)
+    mel_p = np.asarray(frontend_decode_mels(params.frontend_ops, x, s0, W5, bm,
+                                            med_slot, smoothM, len(ends), interpret=True))
+    # invert the smoothing to recover the dequantized values for bin 3
+    Minv = np.linalg.inv(np.asarray(smoothM))
+    deq = mel_p @ Minv
+    np.testing.assert_allclose(deq[:, 3], medians[3, 5], atol=1e-4)
