@@ -102,7 +102,8 @@ def _make_one_run(train_len, test_len, n_channels, eeg_sr, norm_factor,
         Xs = jnp.take(X, select, axis=1)
         coef, intercept, present = lda_mod._fit_batched(Xs, q[:n].T, nb_intervals)
         scatter = jax.nn.one_hot(select, n_stacked, dtype=dtype)      # (150, 5C)
-        coef_full = jnp.einsum("bkf,fd->bkd", coef, scatter)
+        coef_full = jnp.einsum("bkf,fd->bkd", coef, scatter,
+                                precision=jax.lax.Precision.HIGHEST)
         params = dataclasses.replace(
             template,
             lda_coef_full=coef_full,

@@ -58,6 +58,9 @@ class LDAParams:
     def n_bins(self) -> int:
         return self.coef.shape[0]
 
+_HI = jax.lax.Precision.HIGHEST  # keep f32 accumulation on the TPU MXU
+
+
 
 def _fit_one_bin(X, y_onehot, counts, tol=1e-4):
     """sklearn svd-solver LDA for one bin with padded classes.
@@ -73,20 +76,20 @@ def _fit_one_bin(X, y_onehot, counts, tol=1e-4):
     n_classes = jnp.sum(present)
     safe_counts = jnp.where(present, counts, 1)
 
-    sums = y_onehot.T @ X                                  # (k, d)
+    sums = jnp.matmul(y_onehot.T, X, precision=_HI)                                  # (k, d)
     means = sums / safe_counts[:, None]
     priors = jnp.where(present, counts / n, 0.0).astype(dt)
-    xbar = priors @ means                                  # (d,)
+    xbar = jnp.matmul(priors, means, precision=_HI)                                  # (d,)
 
     # Within-class centering: Xc = X - mean of own class
-    Xc = X - y_onehot @ means
+    Xc = X - jnp.matmul(y_onehot, means, precision=_HI)
     fac = 1.0 / (n - n_classes).astype(dt)
     std = jnp.std(Xc, axis=0)
     std = jnp.where(std == 0, 1.0, std)
     Xs = (jnp.sqrt(fac) * Xc) / std
 
     # svd(Xs) via eigh of the Gram matrix (d x d): S = sqrt(eigvals), V = vecs.
-    G = Xs.T @ Xs
+    G = jnp.matmul(Xs.T, Xs, precision=_HI)
     evals, evecs = jnp.linalg.eigh(G)
     evals = evals[::-1]
     evecs = evecs[:, ::-1]
@@ -97,21 +100,21 @@ def _fit_one_bin(X, y_onehot, counts, tol=1e-4):
 
     # Between-class projection
     factor = jnp.sqrt(jnp.where(present, (n * priors) * fac, 0.0))
-    X2 = factor[:, None] * ((means - xbar) @ scalings)     # (k, d)
-    G2 = X2.T @ X2
+    X2 = factor[:, None] * jnp.matmul(means - xbar, scalings, precision=_HI)     # (k, d)
+    G2 = jnp.matmul(X2.T, X2, precision=_HI)
     evals2, evecs2 = jnp.linalg.eigh(G2)
     evals2 = evals2[::-1]
     evecs2 = evecs2[:, ::-1]
     S2 = jnp.sqrt(jnp.clip(evals2, 0.0, None))
     rank2_mask = S2 > tol * S2[0]
     Vt2 = jnp.where(rank2_mask[:, None], evecs2.T, 0.0)    # zero dropped dims
-    scalings2 = scalings @ Vt2.T                           # (d, r2-masked)
+    scalings2 = jnp.matmul(scalings, Vt2.T, precision=_HI)                           # (d, r2-masked)
 
-    coef0 = (means - xbar) @ scalings2                     # (k, r)
-    coef = coef0 @ scalings2.T                             # (k, d)
+    coef0 = jnp.matmul(means - xbar, scalings2, precision=_HI)                     # (k, r)
+    coef = jnp.matmul(coef0, scalings2.T, precision=_HI)                             # (k, d)
     log_priors = jnp.where(present, jnp.log(jnp.where(present, priors, 1.0)), 0.0)
     intercept = -0.5 * jnp.sum(coef0 * coef0, axis=1) + log_priors
-    intercept = intercept - coef @ xbar
+    intercept = intercept - jnp.matmul(coef, xbar, precision=_HI)
     coef = jnp.where(present[:, None], coef, 0.0)
     intercept = jnp.where(present, intercept, 0.0)
     return coef, intercept
@@ -166,7 +169,7 @@ def predict(params: LDAParams, X: jnp.ndarray) -> jnp.ndarray:
 
     One einsum over all bins; absent class slots masked to -inf.
     """
-    scores = jnp.einsum("td,bkd->tbk", X, params.coef) + params.intercept[None]
+    scores = jnp.einsum("td,bkd->tbk", X, params.coef, precision=_HI) + params.intercept[None]
     neg = jnp.asarray(-jnp.inf, scores.dtype)
     scores = jnp.where(params.valid[None], scores, neg)
     idx = jnp.argmax(scores, axis=-1)  # (T, n_bins)
@@ -177,7 +180,7 @@ def predict(params: LDAParams, X: jnp.ndarray) -> jnp.ndarray:
 
 def decision_scores(params: LDAParams, X: jnp.ndarray) -> jnp.ndarray:
     """Raw decision-function scores (T, n_bins, n_classes_max), -inf masked."""
-    scores = jnp.einsum("td,bkd->tbk", X, params.coef) + params.intercept[None]
+    scores = jnp.einsum("td,bkd->tbk", X, params.coef, precision=_HI) + params.intercept[None]
     return jnp.where(params.valid[None], scores, -jnp.inf)
 
 

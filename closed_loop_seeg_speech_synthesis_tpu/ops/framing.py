@@ -30,6 +30,9 @@ import jax.numpy as jnp
 # Host-side schedules (exact reference arithmetic)
 # ---------------------------------------------------------------------------
 
+_HI = jax.lax.Precision.HIGHEST  # keep f32 accumulation on the TPU MXU
+
+
 
 def frame_size(frame_ms: float, sr: float) -> int:
     """int((frame_ms / 1000) * sr) — FrameBuffer.py:27."""
@@ -188,7 +191,7 @@ def windowed_logpower_periodic(x: jnp.ndarray, S: jnp.ndarray, Ls: int, n_frames
     a = wp[: n_periods * Ls].reshape(n_periods, Ls, C)
     b = wp[Ls:].reshape(n_periods, Ls, C)
     span = jnp.concatenate([a, b], axis=1)  # (K, 2*Ls, C)
-    sums = jnp.einsum("pt,ktc->kpc", S.astype(x.dtype), span)
+    sums = jnp.einsum("pt,ktc->kpc", S.astype(x.dtype), span, precision=_HI)
     sums = sums.reshape(n_periods * P, C)[:n_frames]
     return jnp.log(sums + jnp.asarray(0.01, x.dtype))
 

@@ -206,6 +206,11 @@ def make_blocked_iir(ss: StateSpace, block: int, dtype=jnp.float32) -> BlockedII
     )
 
 
+_HI = jax.lax.Precision.HIGHEST  # f32 MXU accumulation: the IIR
+# recurrence and boundary scan are feedback paths where TPU default
+# (bf16 products) injects ~1e-2 relative noise (docs/NUMERICS.md)
+
+
 def _boundary_states(A_L, q, s0):
     """States before each block. q: (K, S, C); s0: (S, C) -> (K, S, C)."""
     K = q.shape[0]
@@ -214,10 +219,11 @@ def _boundary_states(A_L, q, s0):
     def combine(a, b):
         Ma, va = a
         Mb, vb = b
-        return Mb @ Ma, jnp.einsum("kst,ktc->ksc", Mb, va) + vb
+        return (jnp.matmul(Mb, Ma, precision=_HI),
+                jnp.einsum("kst,ktc->ksc", Mb, va, precision=_HI) + vb)
 
     Mpref, vpref = jax.lax.associative_scan(combine, (M, q))
-    s_after = jnp.einsum("kst,tc->ksc", Mpref, s0) + vpref  # state after block k
+    s_after = jnp.einsum("kst,tc->ksc", Mpref, s0, precision=_HI) + vpref  # state after block k
     return jnp.concatenate([s0[None], s_after[:-1]], axis=0), s_after[-1]
 
 
@@ -240,20 +246,23 @@ def iir_blocked(op: BlockedIIR, x: jnp.ndarray, s0: jnp.ndarray):
 
     if C == 1:
         u2 = u[:, :, 0]                                   # (K, L)
-        q = (u2 @ op.Pmat.T)[:, :, None]                  # (K, S, 1)
+        q = jnp.matmul(u2, op.Pmat.T, precision=_HI)[:, :, None]                  # (K, S, 1)
         s_before, _ = _boundary_states(op.A_L, q, s0)
-        y = s_before[:, :, 0] @ op.Cpow.T + u2 @ op.Tmat.T  # (K, L)
+        y = (jnp.matmul(s_before[:, :, 0], op.Cpow.T, precision=_HI)
+             + jnp.matmul(u2, op.Tmat.T, precision=_HI))  # (K, L)
         y = y.reshape(K * L, 1)[:T]
     else:
-        q = jnp.einsum("sl,klc->ksc", op.Pmat, u)
+        q = jnp.einsum("sl,klc->ksc", op.Pmat, u, precision=_HI)
         s_before, _ = _boundary_states(op.A_L, q, s0)
-        y = jnp.einsum("ls,ksc->klc", op.Cpow, s_before) + jnp.einsum("tj,kjc->ktc", op.Tmat, u)
+        y = (jnp.einsum("ls,ksc->klc", op.Cpow, s_before, precision=_HI)
+             + jnp.einsum("tj,kjc->ktc", op.Tmat, u, precision=_HI))
         y = y.reshape(K * L, C)[:T]
 
     # Exact state at sample T (padding zeros must not advance the state).
     r = T - (K - 1) * L  # samples of the final (possibly partial) block
     s_last = s_before[K - 1]
-    sT = op.Apow[r] @ s_last + jnp.einsum("sl,lc->sc", op.Pmat[:, L - r:], u[K - 1, :r])
+    sT = (jnp.matmul(op.Apow[r], s_last, precision=_HI)
+          + jnp.einsum("sl,lc->sc", op.Pmat[:, L - r:], u[K - 1, :r], precision=_HI))
     return y, sT
 
 
@@ -268,8 +277,8 @@ def zero_input_response(op: BlockedIIR, s0: jnp.ndarray, n: int):
     s = s0
     for off in range(0, n, op.block):
         m = min(op.block, n - off)
-        parts.append(op.Cpow[:m] @ s)
-        s = op.Apow[m] @ s
+        parts.append(jnp.matmul(op.Cpow[:m], s, precision=_HI))
+        s = jnp.matmul(op.Apow[m], s, precision=_HI)
     y = jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0,) + s0.shape[1:], s0.dtype)
     return y, s
 

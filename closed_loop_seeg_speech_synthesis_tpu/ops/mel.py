@@ -16,10 +16,14 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 FUZZ = 1e-7
+
+_HI = jax.lax.Precision.HIGHEST  # keep f32 accumulation on the TPU MXU
+
 
 
 def _freq_to_mel(freq: float) -> float:
@@ -72,13 +76,13 @@ def _scrub(x: jnp.ndarray) -> jnp.ndarray:
 
 def to_log_mels(spec_mag: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     """|spectrogram| (..., spec_size) -> logMels (..., n_mel)."""
-    return _scrub(jnp.log(spec_mag @ M + jnp.asarray(FUZZ, spec_mag.dtype)))
+    return _scrub(jnp.log(jnp.matmul(spec_mag, M, precision=_HI) + jnp.asarray(FUZZ, spec_mag.dtype)))
 
 
 def from_log_mels(log_mels: jnp.ndarray, Minv: jnp.ndarray) -> jnp.ndarray:
     """logMels (..., n_mel) -> linear magnitude estimate (..., spec_size)."""
-    return _scrub(jnp.exp(log_mels) @ Minv)
+    return _scrub(jnp.matmul(jnp.exp(log_mels), Minv, precision=_HI))
 
 
 def from_mels(mels: jnp.ndarray, Minv: jnp.ndarray) -> jnp.ndarray:
-    return _scrub(mels @ Minv)
+    return _scrub(jnp.matmul(mels, Minv, precision=_HI))

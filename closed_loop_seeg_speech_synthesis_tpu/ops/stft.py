@@ -18,6 +18,8 @@ import numpy as np
 import scipy.signal.windows as _win
 
 
+_HI = jax.lax.Precision.HIGHEST  # keep f32 accumulation on the TPU MXU
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RDFT:
@@ -41,11 +43,13 @@ class RDFT:
 
     def rfft(self, x: jnp.ndarray):
         """x: (..., N) real -> (real, imag) each (..., N//2+1)."""
-        return x @ self.F_cos, -(x @ self.F_sin)
+        return (jnp.matmul(x, self.F_cos, precision=_HI),
+                -jnp.matmul(x, self.F_sin, precision=_HI))
 
     def irfft(self, xr: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
         """(real, imag): (..., N//2+1) -> x: (..., N), matching np.fft.irfft."""
-        return xr @ self.I_cos + xi @ self.I_sin
+        return (jnp.matmul(xr, self.I_cos, precision=_HI)
+                + jnp.matmul(xi, self.I_sin, precision=_HI))
 
 
 def make_rdft(n: int, dtype=jnp.float32) -> RDFT:
