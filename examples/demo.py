@@ -32,11 +32,20 @@ def make_synthetic_session(path, n_words=20, eeg_sr=1024, audio_sr=48000, n_chan
     audio = np.zeros(Ta)
     t_a = np.arange(2 * audio_sr) / audio_sr
     for i, w in enumerate(words):
-        f0 = 150 + 30 * (hash(w) % 5)
+        # deterministic per-word voice (NOT hash(): PYTHONHASHSEED randomizes
+        # str hashes per process, which made runs non-reproducible) and a
+        # broadband harmonic stack + breath noise so every mel bin carries
+        # voiced/unvoiced structure — a pure tone only excites two bins once
+        # spectral targets are computed exactly (docs/NUMERICS.md precision)
+        wid = int(w[1:]) % 5
+        f0 = 150 + 30 * wid
         burst = np.sin(2 * np.pi * 120 * np.arange(2 * eeg_sr) / eeg_sr)
-        gain = 1.0 + (hash(w) % 5) * 0.4
+        gain = 1.0 + wid * 0.4
         eeg[i * 3 * eeg_sr : i * 3 * eeg_sr + 2 * eeg_sr, : n_channels // 2] += gain * burst[:, None]
-        audio[i * 3 * audio_sr : i * 3 * audio_sr + 2 * audio_sr] = 0.4 * np.sin(2 * np.pi * f0 * t_a)
+        voiced = sum((0.4 / h) * np.sin(2 * np.pi * h * f0 * t_a)
+                     for h in range(1, 26))
+        voiced += 0.02 * rng.randn(len(t_a))
+        audio[i * 3 * audio_sr : i * 3 * audio_sr + 2 * audio_sr] = 0.3 * voiced / np.abs(voiced).max()
     markers = [["experimentStarted"]]
     for w in words:
         markers += [[f"start;{w}"], [f"end;{w}"]]
