@@ -23,11 +23,62 @@ flag (8 -> double present, 0 -> deduced) and channel values.
 
 from __future__ import annotations
 
+import ctypes
+import logging
+import os
 import struct
 import xml.etree.ElementTree as ET
 from collections import defaultdict
 
 import numpy as np
+
+logger = logging.getLogger("io.xdf")
+
+_NATIVE_SENTINEL = object()
+_native_lib_cache = _NATIVE_SENTINEL
+
+
+def _native_scanner():
+    """ctypes handle to native/libxdfscan.so (the sample-chunk hot loop at
+    memory bandwidth for multi-GB recordings), or None."""
+    global _native_lib_cache
+    if _native_lib_cache is not _NATIVE_SENTINEL:
+        return _native_lib_cache
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libxdfscan.so")
+    try:
+        lib = ctypes.CDLL(path)
+        lib.xdf_scan_samples.restype = ctypes.c_long
+        lib.xdf_scan_samples.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+        _native_lib_cache = lib
+    except OSError as e:
+        logger.info("native XDF scanner unavailable (%s); pure-Python parse", e)
+        _native_lib_cache = None
+    return _native_lib_cache
+
+
+def _native_scan_stream(data: bytes, st: "_Stream"):
+    """All of one numeric stream's samples via the native scanner:
+    (timestamps (n,), values (n, C)) or None when the lib is missing."""
+    lib = _native_scanner()
+    if lib is None:
+        return None
+    np_dtype, itemsize = _DTYPES[st.fmt]
+    row_bytes = st.n_channels * itemsize
+    n = lib.xdf_scan_samples(data, len(data), st.stream_id, row_bytes,
+                             st.tdelta, None, None, 0)
+    if n < 0:
+        raise ValueError("malformed XDF sample chunks (native scan)")
+    values = np.empty(n * row_bytes, np.uint8)
+    ts = np.empty(n, np.float64)
+    n2 = lib.xdf_scan_samples(data, len(data), st.stream_id, row_bytes,
+                              st.tdelta,
+                              values.ctypes.data_as(ctypes.c_void_p),
+                              ts.ctypes.data_as(ctypes.c_void_p), n)
+    assert n2 == n, (n2, n)
+    return ts, values.view(np_dtype).reshape(n, st.n_channels)
 
 _DTYPES = {
     "float32": ("<f4", 4),
@@ -236,7 +287,7 @@ def _dejitter(ts: np.ndarray, srate: float) -> np.ndarray:
 
 
 def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True,
-             handle_clock_resets=True):
+             handle_clock_resets=True, use_native=True):
     """Parse an XDF (or gzipped .xdfz) file.
 
     Returns (streams, fileheader) like pyxdf.  ``handle_clock_resets``
@@ -267,7 +318,10 @@ def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True,
         elif tag == 3:
             sid = struct.unpack_from("<I", content, 0)[0]
             st = streams[sid]
-            st.chunks.append(_parse_samples(content[4:], st))
+            if use_native and st.fmt != "string" and _native_scanner() is not None:
+                st.native = True  # bulk-scanned after the header walk
+            else:
+                st.chunks.append(_parse_samples(content[4:], st))
         elif tag == 4:
             sid = struct.unpack_from("<I", content, 0)[0]
             t, v = struct.unpack_from("<dd", content, 4)
@@ -284,7 +338,9 @@ def load_xdf(filename, synchronize_clocks=True, dejitter_timestamps=True,
 
     out = []
     for st in streams.values():
-        if st.chunks:
+        if getattr(st, "native", False):
+            ts, series = _native_scan_stream(data, st)
+        elif st.chunks:
             ts = np.concatenate([c[0] for c in st.chunks])
             if st.fmt == "string":
                 series = [row for c in st.chunks for row in c[1]]

@@ -215,3 +215,51 @@ def test_xdfz_gzip_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(a["time_stamps"], b["time_stamps"])
         if isinstance(a["time_series"], np.ndarray):
             np.testing.assert_array_equal(a["time_series"], b["time_series"])
+
+
+def test_native_scanner_parity(xdf_file):
+    """libxdfscan.so sample walk == pure-Python parser, byte for byte
+    (explicit + deduced timestamps, multi-chunk streams)."""
+    from closed_loop_seeg_speech_synthesis_tpu.io.xdf import _native_scanner
+
+    if _native_scanner() is None:
+        pytest.skip("native scanner not built")
+    path, *_ = xdf_file
+    sn, _ = xdf.load_xdf(path, synchronize_clocks=False, dejitter_timestamps=False,
+                         use_native=True)
+    sp, _ = xdf.load_xdf(path, synchronize_clocks=False, dejitter_timestamps=False,
+                         use_native=False)
+    for a, b in zip(sn, sp):
+        np.testing.assert_array_equal(a["time_stamps"], b["time_stamps"])
+        if isinstance(b["time_series"], np.ndarray):
+            np.testing.assert_array_equal(a["time_series"], b["time_series"])
+        else:
+            assert a["time_series"] == b["time_series"]
+
+
+def test_native_scanner_large_throughput(tmp_path, rng):
+    """Smoke the native path on a larger multi-chunk recording and confirm
+    it is substantially faster than the Python walk."""
+    import time
+
+    from closed_loop_seeg_speech_synthesis_tpu.io.xdf import _native_scanner
+
+    if _native_scanner() is None:
+        pytest.skip("native scanner not built")
+    eeg_sr, audio_sr = 1024, 48000
+    eeg = rng.randn(60 * eeg_sr, 32).astype(np.float32)     # ~8 MB
+    audio = (0.1 * rng.randn(60 * audio_sr)).astype(np.float32)
+    markers = [(100.5, "experimentStarted"), (150.0, "experimentEnded")]
+    path = str(tmp_path / "big.xdf")
+    write_test_xdf(path, eeg, eeg_sr, audio, audio_sr, markers,
+                   [f"c{i}" for i in range(32)])
+
+    t0 = time.perf_counter()
+    sn, _ = xdf.load_xdf(path, use_native=True)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sp, _ = xdf.load_xdf(path, use_native=False)
+    t_py = time.perf_counter() - t0
+    mm = [s for s in sn if s["info"]["name"][0] == "Micromed"][0]
+    np.testing.assert_allclose(np.asarray(mm["time_series"]), eeg, rtol=1e-6)
+    assert t_native < t_py, (t_native, t_py)
