@@ -101,9 +101,15 @@ class Experiment1:
         _, reco, orig, wavs = zip(*results)
         return np.vstack(reco), np.vstack(orig), np.hstack(wavs)
 
-    def _run_folds_batched(self, args, dtype=None, key=None, nb_feats=150):
+    def _run_folds_batched(self, args, dtype=None, key=None, nb_feats=150,
+                           fold_batch=5):
         """All retrain+decode folds as vmapped device programs, grouped by
-        fold shape (uniform KFold => one group, one compilation)."""
+        fold shape (uniform KFold => one group, one compilation).
+
+        ``fold_batch`` bounds how many folds run in one device program: each
+        fold holds a near-full session plus filter-scan temporaries, and a
+        10-wide vmap of 5-minute sessions exhausts HBM (observed TPU worker
+        crash at full scale); chunks reuse the same compilation."""
         from .exp1_batched import fold_targets, make_proposed_runner
 
         dtype = dtype or pipeline.default_compute_dtype()
@@ -130,25 +136,27 @@ class Experiment1:
                     float(norm), nb_feats=nb_feats, dtype=dtype)
             runner, _ = runners[shape_key]
 
-            xts, xes, qs, yms, meds, keys = [], [], [], [], [], []
-            for _, (k, x_train, y_train, x_test, y_test, *_rest) in members:
-                q, medians, y_mean = fold_targets(y_train)
-                xts.append(np.asarray(x_train, np.float64)[:, mask])
-                xes.append(np.asarray(x_test, np.float64)[:, mask])
-                qs.append(q)
-                yms.append(y_mean)
-                meds.append(medians)
-                # fold id as key stream: matches train_decode_fold's PRNGKey(k)
-                keys.append(jax.random.fold_in(key, k))
-            reco_b, audio_b = runner(
-                jnp.asarray(np.stack(xts), dtype), jnp.asarray(np.stack(xes), dtype),
-                jnp.asarray(np.stack(qs), jnp.int32), jnp.asarray(np.stack(yms), dtype),
-                jnp.asarray(np.stack(meds), dtype), jnp.stack(keys))
-            reco_b, audio_b = np.asarray(reco_b), np.asarray(audio_b)
-            for j, (i, a) in enumerate(members):
-                recos[i] = reco_b[j]
-                origs[i] = a[4]
-                wavs[i] = audio_b[j]
+            for c0 in range(0, len(members), fold_batch):
+                chunk = members[c0 : c0 + fold_batch]
+                xts, xes, qs, yms, meds, keys = [], [], [], [], [], []
+                for _, (k, x_train, y_train, x_test, y_test, *_rest) in chunk:
+                    q, medians, y_mean = fold_targets(y_train)
+                    xts.append(np.asarray(x_train, np.float64)[:, mask])
+                    xes.append(np.asarray(x_test, np.float64)[:, mask])
+                    qs.append(q)
+                    yms.append(y_mean)
+                    meds.append(medians)
+                    # fold id as key stream (train_decode_fold uses PRNGKey(k))
+                    keys.append(jax.random.fold_in(key, k))
+                reco_b, audio_b = runner(
+                    jnp.asarray(np.stack(xts), dtype), jnp.asarray(np.stack(xes), dtype),
+                    jnp.asarray(np.stack(qs), jnp.int32), jnp.asarray(np.stack(yms), dtype),
+                    jnp.asarray(np.stack(meds), dtype), jnp.stack(keys))
+                reco_b, audio_b = np.asarray(reco_b), np.asarray(audio_b)
+                for j, (i, a) in enumerate(chunk):
+                    recos[i] = reco_b[j]
+                    origs[i] = a[4]
+                    wavs[i] = audio_b[j]
         return np.vstack(recos), np.vstack(origs), np.hstack(wavs)
 
     def proposed_method(self, nb_folds=10, batched=True):

@@ -188,7 +188,13 @@ def epilogue_constants(lda_coef_full, intercept, valid, classes, medians,
             med_slot.astype(jnp.float32), smoothM.astype(jnp.float32))
 
 
-def _make_decode_kernel(P: int, depth: int, step: int, n_taps: int, K: int, B: int):
+def _make_decode_kernel(P: int, depth: int, step: int, n_taps: int, K: int,
+                        B: int, Ls: int, G: int = 1):
+    """G = periods per grid step: the filter recurrence stays sequential
+    (unrolled over the G sub-periods), but the epilogue then works on G*P
+    frame rows at once — larger matmuls amortize the MXU and the sequential
+    grid better at low channel counts."""
+
     def kernel(u_ref, s0_ref, prefix_ref, tmat_ref, cpow_ref, pmat_ref,
                alarge_ref, swin_ref, w5_ref, bm_ref, med_ref, smooth_ref,
                mel_ref, y_prev, s_scr, f_hist):
@@ -202,22 +208,30 @@ def _make_decode_kernel(P: int, depth: int, step: int, n_taps: int, K: int, B: i
             y_prev[:] = prefix_ref[:].reshape(-1, 1) * jnp.ones((1, C), f32)
             f_hist[:] = jnp.zeros_like(f_hist)
 
-        u = u_ref[:]
         s = s_scr[:]
-        y = (jnp.dot(tmat_ref[:], u, preferred_element_type=f32)
-             + jnp.dot(cpow_ref[:], s, preferred_element_type=f32))
-        span = jnp.concatenate([y_prev[:], y], axis=0)
-        sums = jnp.dot(swin_ref[:], span * span, preferred_element_type=f32)
-        f = jnp.log(sums + f32(0.01))                         # (P, C)
+        y_last = y_prev[:]
+        f_parts = []
+        for g in range(G):
+            u = u_ref[g * Ls : (g + 1) * Ls, :]
+            y = (jnp.dot(tmat_ref[:], u, preferred_element_type=f32)
+                 + jnp.dot(cpow_ref[:], s, preferred_element_type=f32))
+            span = jnp.concatenate([y_last, y], axis=0)
+            sums = jnp.dot(swin_ref[:], span * span, preferred_element_type=f32)
+            f_parts.append(jnp.log(sums + f32(0.01)))         # (P, C)
+            s = (jnp.dot(alarge_ref[:], s, preferred_element_type=f32)
+                 + jnp.dot(pmat_ref[:], u, preferred_element_type=f32))
+            y_last = y
+        f = f_parts[0] if G == 1 else jnp.concatenate(f_parts, axis=0)
 
-        hist_cat = jnp.concatenate([f_hist[:], f], axis=0)    # (depth+P, C)
-        # context stack folded into the LDA matmul: one (P,C)@(C,K*B) per tap
+        PG = G * P
+        hist_cat = jnp.concatenate([f_hist[:], f], axis=0)    # (depth+G*P, C)
+        # context stack folded into the LDA matmul: one (G*P,C)@(C,K*B) per tap
         scores = bm_ref[:]                                    # (1, K*B) bcast
         # HIGHEST: bf16-pass matmuls shift scores ~1e-2 and flip argmax
         # labels at near-ties; the epilogue FLOPs are negligible
         hi = jax.lax.Precision.HIGHEST
         for m in range(n_taps):
-            tap = hist_cat[m * step : m * step + P]           # (P, C)
+            tap = hist_cat[m * step : m * step + PG]          # (G*P, C)
             wm = w5_ref[m * C : (m + 1) * C, :]               # (C, K*B)
             scores = scores + jnp.dot(tap, wm, preferred_element_type=f32,
                                       precision=hi)
@@ -236,19 +250,20 @@ def _make_decode_kernel(P: int, depth: int, step: int, n_taps: int, K: int, B: i
         mel_ref[0, :, :] = jnp.dot(deq, smooth_ref[:], preferred_element_type=f32,
                                    precision=hi)
 
-        f_hist[:] = hist_cat[P:]
-        s_scr[:] = (jnp.dot(alarge_ref[:], s, preferred_element_type=f32)
-                    + jnp.dot(pmat_ref[:], u, preferred_element_type=f32))
-        y_prev[:] = y
+        f_hist[:] = hist_cat[PG:]
+        s_scr[:] = s
+        y_prev[:] = y_last
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_frames", "model_order", "step_size", "interpret"))
+@partial(jax.jit, static_argnames=("n_frames", "model_order", "step_size",
+                                   "periods_per_step", "interpret"))
 def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
                          W5: jnp.ndarray, bm: jnp.ndarray, med_slot: jnp.ndarray,
                          smoothM: jnp.ndarray, n_frames: int, model_order: int = 4,
-                         step_size: int = 5, interpret: bool = False) -> jnp.ndarray:
+                         step_size: int = 5, periods_per_step: int = 1,
+                         interpret: bool = False) -> jnp.ndarray:
     """Raw eeg (T, C) -> dequantized+smoothed logMel frames (n_frames, B),
     fully fused on-chip: the filtered signal, log-power features and stacked
     context never exist in HBM — per period only (P, B) mel rows are written.
@@ -260,20 +275,21 @@ def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
     """
     T, C = eeg.shape
     Ls, P = ops.Ls, ops.P
+    G = periods_per_step
     K_slots, B = med_slot.shape
     depth = model_order * step_size
     n_taps = model_order + 1
-    Kp = -(-n_frames // P)
-    need = Kp * Ls
+    Kp = -(-n_frames // (G * P))
+    need = Kp * G * Ls
     u = jnp.pad(eeg.astype(jnp.float32), ((0, max(0, need - T)), (0, 0)))[:need]
     S_dim = ops.A_L.shape[0]
 
     mel = pl.pallas_call(
-        _make_decode_kernel(P, depth, step_size, n_taps, K_slots, B),
-        out_shape=jax.ShapeDtypeStruct((Kp, P, B), jnp.float32),
+        _make_decode_kernel(P, depth, step_size, n_taps, K_slots, B, Ls, G),
+        out_shape=jax.ShapeDtypeStruct((Kp, G * P, B), jnp.float32),
         grid=(Kp,),
         in_specs=[
-            pl.BlockSpec((Ls, C), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Ls, C), lambda k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S_dim, C), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ls,), lambda k: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ls, Ls), lambda k: (0, 0), memory_space=pltpu.VMEM),
@@ -286,7 +302,7 @@ def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
             pl.BlockSpec((K_slots, B), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, B), lambda k: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, B), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, G * P, B), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Ls, C), jnp.float32),
             pltpu.VMEM((S_dim, C), jnp.float32),
@@ -295,4 +311,4 @@ def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
         interpret=interpret,
     )(u, s0.astype(jnp.float32), ops.prefix, ops.Tmat, ops.Cpow, ops.Pmat,
       ops.A_L, ops.S_win, W5, bm, med_slot, smoothM)
-    return mel.reshape(Kp * P, B)[:n_frames]
+    return mel.reshape(Kp * G * P, B)[:n_frames]

@@ -132,3 +132,35 @@ def test_pallas_fused_epilogue_invalid_never_selected(rng):
     Minv = np.linalg.inv(np.asarray(smoothM))
     deq = mel_p @ Minv
     np.testing.assert_allclose(deq[:, 3], medians[3, 5], atol=1e-4)
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_pallas_fused_epilogue_multi_period(rng, G):
+    """periods_per_step > 1 == the G=1 kernel exactly (same math, bigger
+    epilogue matmuls)."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_frontend import (
+        epilogue_constants, frontend_decode_mels)
+
+    C, sr = 8, 1024.0
+    T = int(sr * 3)
+    eeg = rng.randn(T, C).astype(np.float32)
+    lda = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, 20) * 0.3, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool))
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=C, dtype=jnp.float32)
+    params = pipeline.build_decoder_params(cfg, lda, medians, rng.permutation(5 * C)[:20])
+    ends = framing.streaming_frame_ends(50, 10, sr, T + cfg.prefill)
+    nf = len(ends)
+    x = jnp.asarray(eeg)
+    s0 = params.filt_zi_scale[:, None] * x[0][None, :] + params.filt_s_const[:, None]
+    args = epilogue_constants(params.lda_coef_full, params.lda.intercept,
+                              params.lda.valid, params.lda.classes,
+                              params.medians, params.gauss_kernel, C)
+    m1 = np.asarray(frontend_decode_mels(params.frontend_ops, x, s0, *args, nf,
+                                         interpret=True))
+    mg = np.asarray(frontend_decode_mels(params.frontend_ops, x, s0, *args, nf,
+                                         periods_per_step=G, interpret=True))
+    np.testing.assert_allclose(mg, m1, rtol=1e-6, atol=1e-6)
