@@ -72,8 +72,13 @@ def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None):
 
 
 def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
-                            max_packets=None, backend=None, dtype=None):
-    """Closed loop against a live stream (decode.py:99-149)."""
+                            max_packets=None, backend=None, dtype=None,
+                            persistent=False):
+    """Closed loop against a live stream (decode.py:99-149).
+
+    ``persistent=True`` runs the whole session as one device dispatch
+    (lax.while_loop + io_callback I/O edges) instead of one dispatch per
+    packet — lower overhead on locally attached chips."""
     from ..runtime.streams import StreamInlet
 
     dtype = dtype or pipeline.default_compute_dtype()
@@ -85,7 +90,19 @@ def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
     cfg, dec = _build_decoder(loaded, sfreq, inlet.channels, gl_norm, packet_size, dtype)
 
     sink = make_sink("auto", wav_path=None, sample_rate=cfg.audio_sr)
-    decoder = online.OnlineDecoder(cfg, dec, bad_channels=loaded["bad_channels"], sink=sink)
+    remote_relay = bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
+    if persistent and remote_relay:
+        # host callbacks cannot cross a remote-relay tunnel (the relay
+        # masquerades as a local 'tpu' backend, so detect it by its env):
+        # the io_callback target lives in this process but the loop executes
+        # relay-side — io_callback verifiably hangs there.  Persistent mode
+        # needs a locally attached device.
+        logger.warning("persistent mode unsupported through a remote device "
+                       "relay (host callbacks cannot cross it); using "
+                       "per-packet dispatch")
+        persistent = False
+    decoder_cls = online.PersistentOnlineDecoder if persistent else online.OnlineDecoder
+    decoder = decoder_cls(cfg, dec, bad_channels=loaded["bad_channels"], sink=sink)
 
     stop = stop_event or threading.Event()
     # Marker logging off the hot path.  The reference forks a process
@@ -141,6 +158,9 @@ def main(argv=None):
     parser.add_argument("--seeg_file", help="Decode from file instead of the live stream.")
     parser.add_argument("--backend", choices=["lsl", "nsx"], default=None)
     parser.add_argument("--max_packets", type=int, default=None)
+    parser.add_argument("--persistent", action="store_true",
+                        help="Run the online loop as one persistent device "
+                             "dispatch (io_callback I/O edges).")
     args = parser.parse_args(argv)
 
     config = config_mod.load_config(args.config)
@@ -173,7 +193,8 @@ def main(argv=None):
         spectrogram, audio, received, sfreq = perform_offline_decoding(loaded, eeg, sfreq, gl_norm)
     else:
         spectrogram, audio, received, sfreq = perform_online_decoding(
-            config, loaded, gl_norm, run_dir, backend=args.backend, max_packets=args.max_packets)
+            config, loaded, gl_norm, run_dir, backend=args.backend,
+            max_packets=args.max_packets, persistent=args.persistent)
 
     store_decoding_to_file(run_dir, config, spectrogram, audio, received, sfreq)
     return run_dir

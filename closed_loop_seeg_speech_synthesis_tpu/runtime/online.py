@@ -200,6 +200,188 @@ class OnlineDecoder:
         return p
 
 
+class PersistentOnlineDecoder:
+    """Whole-session decoding as ONE device dispatch.
+
+    A ``lax.while_loop`` runs the online step on device; packets enter and
+    decoded outputs leave through ordered ``io_callback``s — the host touches
+    the loop only at the two I/O edges (sEEG ingest, audio emit), the
+    BASELINE.md design stance.  Per-packet dispatch overhead (program launch,
+    argument marshalling, result future setup) disappears from the hot path;
+    what remains per packet is the callback transfer itself.
+
+    Requires a locally attached backend (cpu/tpu): host callbacks cannot
+    cross a remote-relay tunnel — the callback target lives in this process
+    while the loop would execute relay-side (verified: io_callback hangs on
+    the 'axon' dev harness).  The decode CLI falls back to per-packet
+    dispatch on such backends.
+
+    Outputs are bit-identical to ``OnlineDecoder`` on the same backend: the
+    loop body is the same un-jitted step function.
+    """
+
+    _STOP = 0
+    _DATA = 1
+
+    def __init__(self, cfg: pipeline.DecoderConfig, dec_params, bad_channels=(),
+                 key=None, sink=None, tracer=None, queue_size: int = 256):
+        import queue as queue_mod
+
+        self.cfg = cfg
+        self.params = dec_params
+        self.bad_channels = np.asarray(bad_channels, int)
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.sink = sink or BufferSink()
+        self.tracer = tracer or StageTracer(enabled=True)
+        self.carry = pipeline.init_online_carry(dec_params, cfg)
+        self._queue = queue_mod.Queue(maxsize=queue_size)
+        self.spec_frames = []
+        self.audio_chunks = []
+        self.received = []
+        self._build_loop()
+
+    def _build_loop(self):
+        from jax.experimental import io_callback
+
+        cfg = self.cfg
+        P, C = cfg.packet_size, cfg.n_channels
+        raw_step = pipeline.make_online_step(self.params, cfg, self.key).__wrapped__
+        np_dt = np.dtype(jnp.zeros((), cfg.dtype).dtype)
+
+        def host_pull():
+            pkt, flag = self._queue.get()
+            if flag == self._DATA:
+                self.tracer.mark("packet_in")
+            return np.asarray(pkt, np_dt), np.int32(flag)
+
+        def host_emit(spec, sv, audio, av, flag):
+            if int(flag) != self._DATA:
+                return
+            self.tracer.mark("step_done")
+            spec, audio = np.asarray(spec), np.asarray(audio)
+            for i in np.nonzero(np.asarray(sv))[0]:
+                self.spec_frames.append(spec[i])
+            for i in np.nonzero(np.asarray(av))[0]:
+                self.audio_chunks.append(audio[i])
+                self.sink.write(audio[i])
+            self.tracer.mark("audio_out")
+
+        pull_shape = (jax.ShapeDtypeStruct((P, C), cfg.dtype),
+                      jax.ShapeDtypeStruct((), jnp.int32))
+
+        def body(state):
+            carry, _ = state
+            packet, flag = io_callback(host_pull, pull_shape, ordered=True)
+            new_carry, out = raw_step(carry, packet)
+            is_data = flag == self._DATA
+            new_carry = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_data, a, b), new_carry, carry)
+            io_callback(host_emit, None, out["spec"], out["spec_valid"],
+                        out["audio"], out["audio_valid"], flag, ordered=True)
+            return new_carry, flag
+
+        def cond(state):
+            return state[1] == self._DATA
+
+        @jax.jit
+        def run(carry):
+            carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(self._DATA)))
+            return carry
+
+        self._run = run
+
+    # -- feeding -----------------------------------------------------------
+    def feed_packet(self, packet: np.ndarray):
+        """Enqueue one fixed-size raw packet (packet_size, all_channels)."""
+        self.received.append(packet)
+        if len(self.bad_channels):
+            packet = np.delete(packet, self.bad_channels, axis=1)
+        self._queue.put((packet, self._DATA))
+
+    def feed_stop(self):
+        self._queue.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
+                                  np.float32), self._STOP))
+
+    # -- running -----------------------------------------------------------
+    def warmup(self):
+        """Compile the loop program outside the realtime path (one
+        stop-sentinel iteration; streaming state is not advanced)."""
+        self.feed_stop()
+        jax.block_until_ready(self._run(self.carry))
+
+    def run_until_stopped(self):
+        """Execute the device loop; blocks until a stop sentinel is consumed.
+        Call ``feed_packet`` / ``feed_stop`` from another thread, or enqueue
+        everything beforehand (replay)."""
+        self.carry = self._run(self.carry)
+        jax.block_until_ready(self.carry.sample_count)
+        return self.results()
+
+    def reset(self):
+        self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        self.spec_frames, self.audio_chunks, self.received = [], [], []
+
+    def results(self):
+        spectrogram = np.asarray(self.spec_frames) if self.spec_frames else np.zeros((0, self.cfg.n_mel))
+        audio = np.concatenate(self.audio_chunks) if self.audio_chunks else np.zeros(0, np.int16)
+        received = np.vstack(self.received) if self.received else np.zeros((0, 0))
+        return spectrogram, audio, received
+
+    def run_stream(self, stream, stop_event: threading.Event | None = None,
+                   max_packets: int | None = None,
+                   store_first_timestamp_to: str | None = None,
+                   backend=None, idle_timeout: float = 5.0):
+        """Pull from a live stream until stopped — persistent-loop twin of
+        ``OnlineDecoder.run_stream``: a feeder thread re-blocks inlet chunks
+        into packets and enqueues them; the device loop runs in this thread."""
+        inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
+        rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
+        self.warmup()
+
+        def feeder():
+            first_ts = None
+            idle = 0.0
+            n = 0
+            while not (stop_event and stop_event.is_set()):
+                try:
+                    chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
+                except ConnectionError:
+                    logger.warning("stream closed; stopping decode with %d packets", n)
+                    break
+                if chunk.shape[0] == 0:
+                    idle += 0.25
+                    if max_packets is not None and idle > idle_timeout:
+                        break
+                    continue
+                idle = 0.0
+                if first_ts is None and ts:
+                    first_ts = ts
+                    if store_first_timestamp_to:
+                        np.save(store_first_timestamp_to, np.asarray(first_ts))
+                done = False
+                for packet in rebuf.push(chunk):
+                    self.feed_packet(packet)
+                    n += 1
+                    if max_packets is not None and n >= max_packets:
+                        done = True
+                        break
+                if done:
+                    break
+            self.feed_stop()
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        out = self.run_until_stopped()
+        t.join()
+        return out
+
+    def latency_report(self):
+        p = self.tracer.percentiles("packet_in", "step_done")
+        logger.info("per-packet device latency: p50=%.3fms p95=%.3fms p99=%.3fms",
+                    p[50] * 1e3, p[95] * 1e3, p[99] * 1e3)
+        return p
+
+
 def read_markers(run_dir: str, stream_name: str = "SingleWordsMarkerStream",
                  stop_event=None, backend=None, timeout: float = 10.0):
     """Marker logger (twin of local/marker.py): appends
@@ -219,7 +401,11 @@ def read_markers(run_dir: str, stream_name: str = "SingleWordsMarkerStream",
     # same run_dir must not mix stale markers into DecodingRun trial starts
     with open(path, "w") as f:
         while not (stop_event and stop_event.is_set()):
-            label, ts = inlet.pull_string(timeout=0.25)
+            try:
+                label, ts = inlet.pull_string(timeout=0.25)
+            except ConnectionError:
+                logger.info("marker stream closed; marker logging done")
+                break
             if label is None:
                 continue
             wall = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")

@@ -150,3 +150,82 @@ def test_pipelined_decoder_matches_blocking(trained_session):
     np.testing.assert_array_equal(spec_a, spec_b)
     np.testing.assert_array_equal(audio_a, audio_b)
     np.testing.assert_array_equal(recv_a, recv_b)
+
+
+def test_persistent_loop_matches_per_packet(trained_session):
+    """The persistent device loop (one dispatch, io_callback I/O edges)
+    produces bit-identical outputs to the per-packet OnlineDecoder."""
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import (
+        OnlineDecoder, PersistentOnlineDecoder)
+
+    session_dir, eeg, eeg_sr = trained_session
+    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=jnp.float64)
+    cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=3, gl_norm=10.0,
+                                 dtype=jnp.float64)
+    dec_params = pipeline.build_decoder_params(cfg, loaded["lda"], loaded["medians"],
+                                               loaded["select"])
+    packets = [eeg[i * 32 : (i + 1) * 32] for i in range(48)]
+
+    ref = OnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
+                        key=jax.random.PRNGKey(0))
+    for p in packets:
+        ref.process_packet(p)
+    spec_a, audio_a, recv_a = ref.results()
+
+    per = PersistentOnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
+                                  key=jax.random.PRNGKey(0))
+    per.warmup()  # compile via a stop-sentinel iteration; must not advance state
+    for p in packets:
+        per.feed_packet(p)
+    per.feed_stop()
+    spec_b, audio_b, recv_b = per.run_until_stopped()
+
+    np.testing.assert_array_equal(spec_a, spec_b)
+    np.testing.assert_array_equal(audio_a, audio_b)
+    np.testing.assert_array_equal(recv_a, recv_b)
+
+    # resumable: feeding more packets continues from the carried state
+    more = [eeg[(48 + i) * 32 : (48 + i + 1) * 32] for i in range(8)]
+    for p in more:
+        per.feed_packet(p)
+    per.feed_stop()
+    spec_c, audio_c, _ = per.run_until_stopped()
+    for p in more:
+        ref.process_packet(p)
+    spec_r, audio_r, _ = ref.results()
+    np.testing.assert_array_equal(spec_c, spec_r)
+    np.testing.assert_array_equal(audio_c, audio_r)
+
+
+def test_persistent_loop_run_stream_nsx(trained_session, tmp_path):
+    """PersistentOnlineDecoder.run_stream over the native NSX transport."""
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import PersistentOnlineDecoder
+
+    session_dir, eeg, eeg_sr = trained_session
+    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=jnp.float64)
+    cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=3, gl_norm=10.0,
+                                 dtype=jnp.float64)
+    dec_params = pipeline.build_decoder_params(cfg, loaded["lda"], loaded["medians"],
+                                               loaded["select"])
+    n_packets = 32
+    streamed = eeg[: n_packets * 32].astype(np.float32)
+
+    dec = PersistentOnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
+                                  key=jax.random.PRNGKey(0))
+    results = {}
+
+    def run():
+        results["out"] = dec.run_stream("dev_sEEG_p", max_packets=n_packets,
+                                        backend="nsx")
+
+    t = threading.Thread(target=run)
+    t.start()
+    dev_streamer.stream_eeg(streamed, eeg_sr, "dev_sEEG_p", asap=True,
+                            backend="nsx", wait_for_consumers=60.0)
+    t.join(timeout=300)
+    assert not t.is_alive(), "persistent decoder did not finish"
+    spec, audio, received = results["out"]
+    np.testing.assert_allclose(received, streamed, rtol=1e-6)
+    assert spec.shape[1] == 40 and audio.dtype == np.int16 and len(audio) > 0
