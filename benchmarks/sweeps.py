@@ -87,6 +87,23 @@ def sweep_channels():
                           "unit": "x_realtime", "vs_baseline": round(xrt / 1000, 3)}))
 
 
+def sweep_fused_periods():
+    """G-sweep for the fully fused decode kernel: periods per grid step.
+
+    Informs DecoderConfig.epilogue_periods='auto' — larger G means fewer,
+    larger epilogue matmuls on the sequential grid (helps at low channel
+    counts where per-period matmuls underfill the MXU) but more VMEM and
+    more tail padding."""
+    for ch in (64, 128, 256):
+        for G in (1, 2, 4, 8):
+            cfg, params = _make({"use_pallas_epilogue": True,
+                                 "epilogue_periods": G}, ch)
+            xrt = _time_replay(cfg, params)
+            print(json.dumps({"metric": f"replay_xrt_fused_{ch}ch_G{G}",
+                              "value": round(xrt, 1), "unit": "x_realtime",
+                              "vs_baseline": round(xrt / 1000, 3)}))
+
+
 def sweep_latency(n_packets=200):
     import jax
     import jax.numpy as jnp
@@ -221,6 +238,8 @@ def main():
         sweep_gl_iters()
     if which in ("channels", "all"):
         sweep_channels()
+    if which in ("fused_periods",):
+        sweep_fused_periods()
     if which in ("latency", "all"):
         sweep_latency()
 

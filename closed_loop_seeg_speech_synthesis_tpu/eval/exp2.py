@@ -142,7 +142,14 @@ class Experiment2:
         run = os.path.basename(self.run_dir)
         os.makedirs(self.dest_dir, exist_ok=True)
         if which in ("both", "chance_only"):
-            chance = self.chance_level(runs=runs)
+            # batched device decode (identical sampling/keys to the
+            # sequential path — parity-tested); fall back if the vmapped
+            # compile fails (e.g. aperiodic schedules without a frame plan)
+            try:
+                chance = self.chance_level_batched(runs=runs)
+            except Exception:
+                logger.exception("batched chance decode failed; falling back to sequential")
+                chance = self.chance_level(runs=runs)
             chance = chance[~np.isnan(chance)]
             np.save(os.path.join(self.dest_dir, "exp2_{}_chance.npy".format(run)), chance)
         if which in ("both", "pm_only"):

@@ -92,12 +92,24 @@ class DecoderConfig:
     # sequential-grid serialization of the tiny per-period epilogue matmuls
     # at high channel counts (256ch: +19% measured), and loses below.
     use_pallas_epilogue: Any = "auto"
+    # Periods per fused-kernel grid step (G): the filter recurrence stays
+    # sequential (unrolled over G sub-periods) but the epilogue then runs on
+    # G*P frame rows at once — fewer, larger matmuls amortize the sequential
+    # grid.  "auto" picks from the measured G-sweep (benchmarks/sweeps.py
+    # sweep_fused_periods).
+    epilogue_periods: Any = "auto"
 
     @property
     def fused_epilogue(self) -> bool:
         if self.use_pallas_epilogue == "auto":
             return self.n_channels >= 192
         return bool(self.use_pallas_epilogue)
+
+    @property
+    def fused_periods(self) -> int:
+        if self.epilogue_periods == "auto":
+            return 1
+        return int(self.epilogue_periods)
 
     @property
     def win(self) -> int:
@@ -274,7 +286,8 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
             cfg.n_channels, cfg.model_order)
         mel_frames = frontend_decode_mels(params.frontend_ops, x, s0, W5, bm,
                                           med_slot, smoothM, n_frames,
-                                          cfg.model_order, cfg.step_size)
+                                          cfg.model_order, cfg.step_size,
+                                          periods_per_step=cfg.fused_periods)
     elif use_fused:
         from ..ops.pallas_frontend import frontend_logpower
 
