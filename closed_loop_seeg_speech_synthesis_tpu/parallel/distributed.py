@@ -86,6 +86,37 @@ def distributed_replay(mesh, decode_jit, cfg, params, local_eeg, ends, local_ran
     return local_part(spec_g), local_part(audio_g)
 
 
+def distributed_train(mesh, cfg, local_eeg, local_audio):
+    """Fit ONE model from a globally sharded multi-session training batch.
+
+    The reference trains on the concatenation of all recording files in one
+    process (train.py:284-311).  Here sessions shard over the ``data`` axis
+    (across hosts, riding DCN) and channels over ``model`` (ICI); the pooled
+    Gram/covariance reductions inside the batched LDA fit are the only
+    cross-host collectives, inserted by XLA from the sharding annotations.
+
+    ``local_eeg`` (B_local, T, C) / ``local_audio`` (B_local, Ta) are THIS
+    process's sessions; the global batch is their process-major
+    concatenation.  Returns (LDAParams, select, medians) as host arrays —
+    identical on every process (outputs are replicated).
+    """
+    import jax
+    import numpy as np
+
+    from . import sharded
+
+    local_eeg = np.asarray(local_eeg)
+    local_audio = np.asarray(local_audio)
+    _, T, C = local_eeg.shape
+    step, (eeg_sh, audio_sh) = sharded.make_sharded_train_step(
+        mesh, cfg, T, local_audio.shape[1], C)
+    eeg_g = jax.make_array_from_process_local_data(eeg_sh, local_eeg)
+    audio_g = jax.make_array_from_process_local_data(audio_sh, local_audio)
+    params, select, medians = step(eeg_g, audio_g)
+    return (jax.tree_util.tree_map(lambda a: np.asarray(a), params),
+            np.asarray(select), np.asarray(medians))
+
+
 # --------------------------------------------------------------------------
 # CPU multi-process dryrun (driver-style validation without a pod)
 # --------------------------------------------------------------------------
@@ -140,12 +171,49 @@ print(f"dcn worker {pid}: ok, spec shard {spec.shape}")
 """
 
 
-def dryrun_dcn(n_processes: int = 2, n_local_devices: int = 4, port: int = 51217,
-               workdir: str = "/tmp", timeout: float = 600.0):
-    """Spawn N processes x M virtual CPU devices, run the distributed replay,
-    and return the per-process spectrogram shards (process order)."""
-    import numpy as np
+_TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
 
+n_proc = int(sys.argv[1]); pid = int(sys.argv[2]); port = sys.argv[3]
+n_local = int(sys.argv[4]); out_path = sys.argv[5]
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_force_host_platform_device_count={n_local}").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+from closed_loop_seeg_speech_synthesis_tpu.parallel import distributed as dist
+dist.initialize(f"localhost:{port}", n_proc, pid)
+
+import jax.numpy as jnp
+from closed_loop_seeg_speech_synthesis_tpu.parallel import sharded
+
+assert len(jax.devices()) == n_proc * n_local, (len(jax.devices()), n_proc, n_local)
+
+# deterministic global session batch, same seed on every process
+rng = np.random.RandomState(7)
+cfg = sharded.ShardedTrainConfig(dtype=jnp.float32, nb_feats=16, iir_block=128)
+T, C = 2048, 8
+Ta = int(T / cfg.sr * cfg.audio_sr)
+B_global = 2 * n_proc * n_local
+B_local = B_global // n_proc
+eeg_all = rng.randn(B_global, T, C).astype(np.float32)
+audio_all = (rng.randn(B_global, Ta) * 0.1).astype(np.float32)
+lo, hi = pid * B_local, (pid + 1) * B_local
+
+mesh = dist.global_mesh(model_axis=1)
+params, select, medians = dist.distributed_train(mesh, cfg,
+                                                 eeg_all[lo:hi], audio_all[lo:hi])
+assert params.coef.shape == (cfg.n_mel, cfg.nb_intervals, cfg.nb_feats)
+np.savez(out_path, coef=params.coef, intercept=params.intercept,
+         select=select, medians=medians)
+print(f"dcn train worker {pid}: ok, coef {params.coef.shape}")
+"""
+
+
+def _spawn_dryrun(worker_src: str, out_prefix: str, n_processes: int,
+                  n_local_devices: int, port: int, workdir: str, timeout: float,
+                  suffix: str = ".npy"):
     procs, outs = [], []
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -153,10 +221,10 @@ def dryrun_dcn(n_processes: int = 2, n_local_devices: int = 4, port: int = 51217
         p for p in (os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
                     env.get("PYTHONPATH", "")) if p)
     for pid in range(n_processes):
-        out_path = os.path.join(workdir, f"dcn_shard_{pid}.npy")
+        out_path = os.path.join(workdir, f"{out_prefix}_{pid}{suffix}")
         outs.append(out_path)
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(n_processes), str(pid), str(port),
+            [sys.executable, "-c", worker_src, str(n_processes), str(pid), str(port),
              str(n_local_devices), out_path],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     logs = []
@@ -170,4 +238,29 @@ def dryrun_dcn(n_processes: int = 2, n_local_devices: int = 4, port: int = 51217
         logs.append(out)
         if p.returncode != 0:
             raise RuntimeError("dcn worker failed:\n" + out[-4000:])
+    return outs, logs
+
+
+def dryrun_dcn(n_processes: int = 2, n_local_devices: int = 4, port: int = 51217,
+               workdir: str = "/tmp", timeout: float = 600.0):
+    """Spawn N processes x M virtual CPU devices, run the distributed replay,
+    and return the per-process spectrogram shards (process order)."""
+    import numpy as np
+
+    outs, logs = _spawn_dryrun(_WORKER, "dcn_shard", n_processes, n_local_devices,
+                               port, workdir, timeout)
     return [np.load(o) for o in outs], logs
+
+
+def dryrun_dcn_train(n_processes: int = 2, n_local_devices: int = 4,
+                     port: int = 51219, workdir: str = "/tmp",
+                     timeout: float = 600.0):
+    """Spawn N processes x M virtual CPU devices and fit ONE model from the
+    globally sharded session batch; returns each process's fetched replica of
+    (coef, intercept, select, medians) — they must all be identical."""
+    import numpy as np
+
+    outs, logs = _spawn_dryrun(_TRAIN_WORKER, "dcn_train", n_processes,
+                               n_local_devices, port, workdir, timeout,
+                               suffix=".npz")
+    return [dict(np.load(o)) for o in outs], logs

@@ -104,7 +104,15 @@ def make_sharded_train_step(mesh, cfg: ShardedTrainConfig, session_len: int, aud
         )
         return params, select, medians
 
-    return jax.jit(step, in_shardings=(eeg_sh, audio_sh)), (eeg_sh, audio_sh)
+    # Replicated outputs: the fitted model is tiny and every process of a
+    # multi-host run must be able to fetch it (non-addressable shards would
+    # strand the params on other hosts).
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(step, in_shardings=(eeg_sh, audio_sh),
+                   out_shardings=(lda_mod.LDAParams(coef=rep, intercept=rep,
+                                                    classes=rep, valid=rep),
+                                  rep, rep))
+    return step, (eeg_sh, audio_sh)
 
 
 def make_sharded_decode(mesh, dec_params, cfg, n_frames: int):

@@ -42,3 +42,36 @@ def test_dcn_dryrun_matches_local(tmp_path):
                                             rand_init=np.asarray(rand))
         np.testing.assert_allclose(spec_dist[i], np.asarray(spec_i),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_train_matches_local(tmp_path):
+    """Multi-host training fan-out: 2 processes x 4 virtual devices fit ONE
+    model from the globally sharded session batch; every process fetches the
+    same replica, and it matches a single-process fit of the pooled batch on
+    an identically shaped (8 data x 1 model) mesh."""
+    from closed_loop_seeg_speech_synthesis_tpu.parallel import (
+        distributed as dist, mesh as mesh_lib, sharded)
+
+    reps, logs = dist.dryrun_dcn_train(n_processes=2, n_local_devices=4,
+                                       workdir=str(tmp_path), port=52119)
+    assert len(reps) == 2
+    for k in reps[0]:
+        np.testing.assert_array_equal(reps[0][k], reps[1][k])
+
+    # single-process reference: same pooled sessions (worker regenerates them
+    # from the same seed), same mesh shape
+    rng = np.random.RandomState(7)
+    cfg = sharded.ShardedTrainConfig(dtype=jnp.float32, nb_feats=16, iir_block=128)
+    T, C = 2048, 8
+    Ta = int(T / cfg.sr * cfg.audio_sr)
+    B = 16
+    eeg = rng.randn(B, T, C).astype(np.float32)
+    audio = (rng.randn(B, Ta) * 0.1).astype(np.float32)
+    mesh = mesh_lib.make_mesh(8, model_axis=1)
+    params, select, medians = dist.distributed_train(mesh, cfg, eeg, audio)
+
+    np.testing.assert_array_equal(select, reps[0]["select"])
+    np.testing.assert_allclose(medians, reps[0]["medians"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(params.coef, reps[0]["coef"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(params.intercept, reps[0]["intercept"],
+                               rtol=1e-3, atol=1e-3)
