@@ -1,9 +1,11 @@
 """Benchmark sweep harness (BASELINE.md config matrix).
 
-Sweeps: Griffin-Lim iterations (8/16/32), channel scaling (64/128/256) and
-the online per-packet step latency.  Each prints one JSON line per point.
+Sweeps: Griffin-Lim iterations (8/16/32), channel scaling (64/128/256),
+fused-kernel periods-per-grid-step (G x channels, informs the
+``DecoderConfig.epilogue_periods`` auto-policy) and the online per-packet
+step latency.  Each prints one JSON line per point.
 
-Run:  python -m benchmarks.sweeps [gl_iters|channels|latency|all]
+Run:  python -m benchmarks.sweeps [gl_iters|channels|fused_periods|latency|all]
 
 Latency note: under the hosted TPU tunnel every dispatch pays a ~30 ms
 network round trip that does not exist on local hardware, so the latency
@@ -238,7 +240,7 @@ def main():
         sweep_gl_iters()
     if which in ("channels", "all"):
         sweep_channels()
-    if which in ("fused_periods",):
+    if which in ("fused_periods", "all"):
         sweep_fused_periods()
     if which in ("latency", "all"):
         sweep_latency()

@@ -90,13 +90,10 @@ def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
     cfg, dec = _build_decoder(loaded, sfreq, inlet.channels, gl_norm, packet_size, dtype)
 
     sink = make_sink("auto", wav_path=None, sample_rate=cfg.audio_sr)
-    remote_relay = bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
-    if persistent and remote_relay:
-        # host callbacks cannot cross a remote-relay tunnel (the relay
-        # masquerades as a local 'tpu' backend, so detect it by its env):
-        # the io_callback target lives in this process but the loop executes
-        # relay-side — io_callback verifiably hangs there.  Persistent mode
-        # needs a locally attached device.
+    if persistent and online.remote_relay_backend():
+        # persistent mode needs a locally attached device; the decoder class
+        # itself refuses relay backends (PersistentOnlineDecoder.__init__),
+        # the CLI degrades gracefully instead
         logger.warning("persistent mode unsupported through a remote device "
                        "relay (host callbacks cannot cross it); using "
                        "per-packet dispatch")

@@ -143,13 +143,10 @@ class Experiment2:
         os.makedirs(self.dest_dir, exist_ok=True)
         if which in ("both", "chance_only"):
             # batched device decode (identical sampling/keys to the
-            # sequential path — parity-tested); fall back if the vmapped
-            # compile fails (e.g. aperiodic schedules without a frame plan)
-            try:
-                chance = self.chance_level_batched(runs=runs)
-            except Exception:
-                logger.exception("batched chance decode failed; falling back to sequential")
-                chance = self.chance_level(runs=runs)
+            # sequential path — parity-tested; handles periodic and
+            # aperiodic schedules).  chance_level() remains as the
+            # sequential parity twin.
+            chance = self.chance_level_batched(runs=runs)
             chance = chance[~np.isnan(chance)]
             np.save(os.path.join(self.dest_dir, "exp2_{}_chance.npy".format(run)), chance)
         if which in ("both", "pm_only"):

@@ -61,6 +61,56 @@ class PacketRebuffer:
         return out
 
 
+def remote_relay_backend() -> bool:
+    """True when the active JAX backend is a remote-compile relay (e.g. the
+    'axon' dev harness): programs execute relay-side while host-callback
+    targets live in this process, so ``io_callback`` never connects and a
+    persistent device loop hangs.  False on locally attached cpu/tpu — in
+    particular when tests force ``jax_platforms=cpu`` under a relay env."""
+    import os
+
+    if not os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pump_stream(inlet: StreamInlet, rebuf: PacketRebuffer, packet_size: int,
+                 on_packet, stop_event, max_packets, store_first_timestamp_to,
+                 idle_timeout: float) -> int:
+    """Shared inlet loop of both online decoders: pull chunks, re-block into
+    packets, invoke ``on_packet`` per packet.  The ``max_packets`` cutoff is
+    chunk-granular (the whole rebuffered chunk is processed before checking)
+    so both dispatch modes decode identical packet sets from the same stream.
+    Returns the packet count."""
+    first_ts = None
+    idle = 0.0
+    n = 0
+    while not (stop_event and stop_event.is_set()):
+        try:
+            chunk, ts = inlet.pull_chunk(max_samples=max(packet_size, 64), timeout=0.25)
+        except ConnectionError:
+            # stream producer went away (amplifier restart): stop cleanly
+            # with everything decoded so far (lsl_socket.py:44-49 policy)
+            logger.warning("stream closed; stopping decode with %d packets", n)
+            break
+        if chunk.shape[0] == 0:
+            idle += 0.25
+            if max_packets is not None and idle > idle_timeout:
+                break
+            continue
+        idle = 0.0
+        if first_ts is None and ts:
+            first_ts = ts
+            if store_first_timestamp_to:
+                np.save(store_first_timestamp_to, np.asarray(first_ts))
+        for packet in rebuf.push(chunk):
+            on_packet(packet)
+            n += 1
+        if max_packets is not None and n >= max_packets:
+            break
+    return n
+
+
 class OnlineDecoder:
     """Per-packet device decoding.
 
@@ -158,32 +208,8 @@ class OnlineDecoder:
         inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
         rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
         self.warmup()
-        first_ts = None
-        idle = 0.0
-        n = 0
-        while not (stop_event and stop_event.is_set()):
-            try:
-                chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
-            except ConnectionError:
-                # stream producer went away (amplifier restart): stop cleanly
-                # with everything decoded so far (lsl_socket.py:44-49 policy)
-                logger.warning("stream closed; stopping decode with %d packets", n)
-                break
-            if chunk.shape[0] == 0:
-                idle += 0.25
-                if max_packets is not None and idle > idle_timeout:
-                    break
-                continue
-            idle = 0.0
-            if first_ts is None and ts:
-                first_ts = ts
-                if store_first_timestamp_to:
-                    np.save(store_first_timestamp_to, np.asarray(first_ts))
-            for packet in rebuf.push(chunk):
-                self.process_packet(packet)
-                n += 1
-            if max_packets is not None and n >= max_packets:
-                break
+        _pump_stream(inlet, rebuf, self.cfg.packet_size, self.process_packet,
+                     stop_event, max_packets, store_first_timestamp_to, idle_timeout)
         return self.results()
 
     def results(self):
@@ -200,7 +226,7 @@ class OnlineDecoder:
         return p
 
 
-class PersistentOnlineDecoder:
+class PersistentOnlineDecoder(OnlineDecoder):
     """Whole-session decoding as ONE device dispatch.
 
     A ``lax.while_loop`` runs the online step on device; packets enter and
@@ -213,31 +239,33 @@ class PersistentOnlineDecoder:
     Requires a locally attached backend (cpu/tpu): host callbacks cannot
     cross a remote-relay tunnel — the callback target lives in this process
     while the loop would execute relay-side (verified: io_callback hangs on
-    the 'axon' dev harness).  The decode CLI falls back to per-packet
-    dispatch on such backends.
+    the 'axon' dev harness), so ``__init__`` refuses such backends
+    (``remote_relay_backend``) and the decode CLI falls back to per-packet
+    dispatch.
 
-    Outputs are bit-identical to ``OnlineDecoder`` on the same backend: the
-    loop body is the same un-jitted step function.
+    Feed with ``feed_packet``/``feed_stop`` (from another thread, or enqueue
+    the whole session beforehand — the queue is unbounded by default) and
+    execute with ``run_until_stopped``; or use ``run_stream``.  Outputs are
+    bit-identical to ``OnlineDecoder`` on the same backend: the loop body is
+    the same un-jitted step function.
     """
 
     _STOP = 0
     _DATA = 1
 
     def __init__(self, cfg: pipeline.DecoderConfig, dec_params, bad_channels=(),
-                 key=None, sink=None, tracer=None, queue_size: int = 256):
+                 key=None, sink=None, tracer=None, queue_size: int = 0):
         import queue as queue_mod
 
-        self.cfg = cfg
-        self.params = dec_params
-        self.bad_channels = np.asarray(bad_channels, int)
-        self.key = key if key is not None else jax.random.PRNGKey(0)
-        self.sink = sink or BufferSink()
-        self.tracer = tracer or StageTracer(enabled=True)
-        self.carry = pipeline.init_online_carry(dec_params, cfg)
+        if remote_relay_backend():
+            raise RuntimeError(
+                "PersistentOnlineDecoder needs a locally attached device: the "
+                "active backend is a remote-compile relay, where io_callback "
+                "hangs (the callback target lives in this process but the "
+                "device loop executes relay-side). Use OnlineDecoder.")
+        super().__init__(cfg, dec_params, bad_channels=bad_channels, key=key,
+                         sink=sink, tracer=tracer)
         self._queue = queue_mod.Queue(maxsize=queue_size)
-        self.spec_frames = []
-        self.audio_chunks = []
-        self.received = []
         self._build_loop()
 
     def _build_loop(self):
@@ -245,7 +273,7 @@ class PersistentOnlineDecoder:
 
         cfg = self.cfg
         P, C = cfg.packet_size, cfg.n_channels
-        raw_step = pipeline.make_online_step(self.params, cfg, self.key).__wrapped__
+        raw_step = self.step.__wrapped__
         np_dt = np.dtype(jnp.zeros((), cfg.dtype).dtype)
 
         def host_pull():
@@ -294,38 +322,52 @@ class PersistentOnlineDecoder:
     def feed_packet(self, packet: np.ndarray):
         """Enqueue one fixed-size raw packet (packet_size, all_channels)."""
         self.received.append(packet)
-        if len(self.bad_channels):
-            packet = np.delete(packet, self.bad_channels, axis=1)
-        self._queue.put((packet, self._DATA))
+        self._queue.put((self._select(packet), self._DATA))
 
     def feed_stop(self):
         self._queue.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
                                   np.float32), self._STOP))
 
+    def process_packet(self, packet: np.ndarray):
+        raise NotImplementedError(
+            "PersistentOnlineDecoder decodes inside one device dispatch: use "
+            "feed_packet()/feed_stop() + run_until_stopped() (or run_stream).")
+
     # -- running -----------------------------------------------------------
     def warmup(self):
-        """Compile the loop program outside the realtime path (one
-        stop-sentinel iteration; streaming state is not advanced)."""
-        self.feed_stop()
-        jax.block_until_ready(self._run(self.carry))
+        """Compile the loop program outside the realtime path.
+
+        Runs one stop-sentinel iteration against a private queue, so packets
+        already enqueued stay untouched; the warmup carry is discarded, so
+        streaming state is not advanced and nothing is emitted."""
+        import queue as queue_mod
+
+        real, tmp = self._queue, queue_mod.Queue()
+        tmp.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
+                          np.float32), self._STOP))
+        self._queue = tmp
+        try:
+            jax.block_until_ready(self._run(self.carry))
+        finally:
+            self._queue = real
+        self._warm = True
 
     def run_until_stopped(self):
         """Execute the device loop; blocks until a stop sentinel is consumed.
         Call ``feed_packet`` / ``feed_stop`` from another thread, or enqueue
-        everything beforehand (replay)."""
+        everything beforehand (replay; the queue is unbounded by default)."""
         self.carry = self._run(self.carry)
         jax.block_until_ready(self.carry.sample_count)
         return self.results()
 
     def reset(self):
-        self.carry = pipeline.init_online_carry(self.params, self.cfg)
-        self.spec_frames, self.audio_chunks, self.received = [], [], []
-
-    def results(self):
-        spectrogram = np.asarray(self.spec_frames) if self.spec_frames else np.zeros((0, self.cfg.n_mel))
-        audio = np.concatenate(self.audio_chunks) if self.audio_chunks else np.zeros(0, np.int16)
-        received = np.vstack(self.received) if self.received else np.zeros((0, 0))
-        return spectrogram, audio, received
+        super().reset()
+        # stale queued packets must not leak into the next session
+        while not self._queue.empty():
+            try:
+                self._queue.get_nowait()
+            except Exception:
+                break
 
     def run_stream(self, stream, stop_event: threading.Event | None = None,
                    max_packets: int | None = None,
@@ -337,49 +379,27 @@ class PersistentOnlineDecoder:
         inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
         rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
         self.warmup()
+        feeder_error = []
 
         def feeder():
-            first_ts = None
-            idle = 0.0
-            n = 0
-            while not (stop_event and stop_event.is_set()):
-                try:
-                    chunk, ts = inlet.pull_chunk(max_samples=max(self.cfg.packet_size, 64), timeout=0.25)
-                except ConnectionError:
-                    logger.warning("stream closed; stopping decode with %d packets", n)
-                    break
-                if chunk.shape[0] == 0:
-                    idle += 0.25
-                    if max_packets is not None and idle > idle_timeout:
-                        break
-                    continue
-                idle = 0.0
-                if first_ts is None and ts:
-                    first_ts = ts
-                    if store_first_timestamp_to:
-                        np.save(store_first_timestamp_to, np.asarray(first_ts))
-                done = False
-                for packet in rebuf.push(chunk):
-                    self.feed_packet(packet)
-                    n += 1
-                    if max_packets is not None and n >= max_packets:
-                        done = True
-                        break
-                if done:
-                    break
-            self.feed_stop()
+            try:
+                _pump_stream(inlet, rebuf, self.cfg.packet_size, self.feed_packet,
+                             stop_event, max_packets, store_first_timestamp_to,
+                             idle_timeout)
+            except BaseException as e:  # surface in the caller after join
+                feeder_error.append(e)
+            finally:
+                # ALWAYS release the device loop — a feeder crash must not
+                # leave run_until_stopped blocked inside the dispatch
+                self.feed_stop()
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
         out = self.run_until_stopped()
         t.join()
+        if feeder_error:
+            raise feeder_error[0]
         return out
-
-    def latency_report(self):
-        p = self.tracer.percentiles("packet_in", "step_done")
-        logger.info("per-packet device latency: p50=%.3fms p95=%.3fms p99=%.3fms",
-                    p[50] * 1e3, p[95] * 1e3, p[99] * 1e3)
-        return p
 
 
 def read_markers(run_dir: str, stream_name: str = "SingleWordsMarkerStream",

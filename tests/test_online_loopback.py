@@ -175,8 +175,14 @@ def test_persistent_loop_matches_per_packet(trained_session):
 
     per = PersistentOnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
                                   key=jax.random.PRNGKey(0))
-    per.warmup()  # compile via a stop-sentinel iteration; must not advance state
-    for p in packets:
+    for p in packets[:8]:
+        per.feed_packet(p)
+    # warmup after packets are queued: must neither consume them, emit
+    # anything, nor advance streaming state (it compiles against a private
+    # stop-sentinel queue)
+    per.warmup()
+    assert per.spec_frames == [] and per.audio_chunks == []
+    for p in packets[8:]:
         per.feed_packet(p)
     per.feed_stop()
     spec_b, audio_b, recv_b = per.run_until_stopped()
