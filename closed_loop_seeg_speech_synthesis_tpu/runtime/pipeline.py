@@ -88,27 +88,30 @@ class DecoderConfig:
     # Fuse the rest of the decode path (context stack + LDA + dequant +
     # smooth) into the front-end kernel's epilogue: features and stacked
     # context never reach HBM, only (P, n_mel) rows per period are written.
-    # "auto" = on from 192 channels up — the HBM-traffic saving beats the
-    # sequential-grid serialization of the tiny per-period epilogue matmuls
-    # at high channel counts (256ch: +19% measured), and loses below.
+    # "auto" = on: with the multi-period grid (epilogue_periods below) the
+    # fused kernel beats the separate frontend+XLA epilogue at every swept
+    # channel count (64ch +14%, 128ch +10%, 256ch +34%; benchmarks/sweeps.py
+    # fused_periods sweep).
     use_pallas_epilogue: Any = "auto"
     # Periods per fused-kernel grid step (G): the filter recurrence stays
     # sequential (unrolled over G sub-periods) but the epilogue then runs on
     # G*P frame rows at once — fewer, larger matmuls amortize the sequential
-    # grid.  "auto" picks from the measured G-sweep (benchmarks/sweeps.py
-    # sweep_fused_periods).
+    # grid.  "auto" picks from the measured G-sweep: G=4 at low channel
+    # counts (small per-period matmuls underfill the MXU), G=2 from 128ch up
+    # (VMEM pressure and tail padding start to cost more than the
+    # amortization saves).
     epilogue_periods: Any = "auto"
 
     @property
     def fused_epilogue(self) -> bool:
         if self.use_pallas_epilogue == "auto":
-            return self.n_channels >= 192
+            return True
         return bool(self.use_pallas_epilogue)
 
     @property
     def fused_periods(self) -> int:
         if self.epilogue_periods == "auto":
-            return 1
+            return 4 if self.n_channels <= 96 else 2
         return int(self.epilogue_periods)
 
     @property
