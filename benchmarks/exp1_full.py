@@ -61,10 +61,25 @@ def main(workdir="/tmp/exp1_full", n_words=100, n_channels=64, chance_runs=3):
     pm_mean, _pm_std = e.proposed_method()
     t_prop = time.perf_counter() - t0
     r_prop = float(np.mean(pm_mean))
+
+    # per-fold quality guard: a mean-only check once hid a TPU vmap
+    # miscompile that zeroed entire folds' models (lanes 0-1 of each chunk)
+    # while later folds stayed perfect — every fold must decode well.
+    reco = np.load(os.path.join(dest, "pm_reco.npy"))
+    orig = np.load(os.path.join(dest, "orig.npy"))
+    frames_per_fold = len(reco) // 10
+    fold_rs = []
+    for f in range(10):
+        o = orig[f * frames_per_fold : (f + 1) * frames_per_fold]
+        r = reco[f * frames_per_fold : (f + 1) * frames_per_fold]
+        rs = [np.corrcoef(o[:, b], r[:, b])[0, 1] for b in range(o.shape[1])]
+        fold_rs.append(float(np.nanmean(rs)))
     print(json.dumps({"metric": "exp1_full_proposed_10fold_s",
                       "value": round(t_prop, 1), "unit": "s",
                       "mean_r": round(r_prop, 3),
+                      "per_fold_r": [round(r, 3) for r in fold_rs],
                       "vs_baseline": round(305.0 / t_prop, 2)}))
+    assert min(fold_rs) > 0.5, f"fold-level decode quality collapse: {fold_rs}"
 
     t0 = time.perf_counter()
     rc_mean, _rc_std = e.chance_level_batched(nb_runs=chance_runs, save=False)

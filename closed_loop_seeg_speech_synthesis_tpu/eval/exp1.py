@@ -102,14 +102,15 @@ class Experiment1:
         return np.vstack(reco), np.vstack(orig), np.hstack(wavs)
 
     def _run_folds_batched(self, args, dtype=None, key=None, nb_feats=150,
-                           fold_batch=5):
-        """All retrain+decode folds as vmapped device programs, grouped by
-        fold shape (uniform KFold => one group, one compilation).
+                           fold_batch=10):
+        """All retrain+decode folds as one compiled device program, grouped
+        by fold shape (uniform KFold => one group, one compilation).
 
-        ``fold_batch`` bounds how many folds run in one device program: each
-        fold holds a near-full session plus filter-scan temporaries, and a
-        10-wide vmap of 5-minute sessions exhausts HBM (observed TPU worker
-        crash at full scale); chunks reuse the same compilation."""
+        The fold axis runs through ``lax.map`` — sequential lanes of the
+        proven-correct unbatched program (see make_proposed_runner for the
+        TPU vmap miscompile this avoids) — so peak HBM is one fold's working
+        set and all 10 folds fit in one call.  ``fold_batch`` still bounds
+        host-side stacking per call."""
         from .exp1_batched import fold_targets, make_proposed_runner
 
         dtype = dtype or pipeline.default_compute_dtype()

@@ -129,10 +129,21 @@ def make_chance_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
                                       norm_factor, nb_feats, nb_intervals, n_mel,
                                       line_noise, dtype)
 
+    # lax.map, NOT vmap, over the run axis: one compilation, sequential
+    # device execution of the proven-correct unbatched program.  vmapping the
+    # whole retrain+decode graph miscompiles on TPU at batch>=5 x full-scale
+    # shapes (XLA fuses the feature gather into the class-means matmul and
+    # produces garbage class means for a leading contiguous range of batch
+    # elements — observed 2026-08: lanes 0-1 fully dead, lane 2 partially,
+    # while every returned INTERMEDIATE including the gathered features
+    # compares bit-exact).  Each lane already saturates the chip (270 s of
+    # 64ch IIR + a full decode), so lane-level vmap bought no throughput.
     @jax.jit
     def runner(xt, xe, q, y_mean, medians, shifts, key):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(shifts.shape[0]))
-        return jax.vmap(lambda s, k: one_run(xt, xe, q, y_mean, medians, s, k)[0])(shifts, keys)
+        return jax.lax.map(
+            lambda sk: one_run(xt, xe, q, y_mean, medians, sk[0], sk[1])[0],
+            (shifts, keys))
 
     return runner, n_frames
 
@@ -156,12 +167,17 @@ def make_proposed_runner(train_len, test_len, n_channels, eeg_sr, norm_factor,
                                       norm_factor, nb_feats, nb_intervals, n_mel,
                                       line_noise, dtype)
 
+    # lax.map over folds for the same reason as make_chance_runner: the
+    # fold-axis vmap of the full retrain+decode graph miscompiles on TPU at
+    # full scale (garbage class means for leading lanes).  Sequential lanes
+    # also drop peak HBM to one fold's working set, so all 10 folds fit in
+    # one call (the 10-wide vmap used to exhaust HBM).
     @jax.jit
     def runner(xts, xes, qs, y_means, medians, keys):
         zero = jnp.zeros((), jnp.int32)
-        return jax.vmap(lambda xt, xe, q, ym, med, k:
-                        one_run(xt, xe, q, ym, med, zero, k))(
-            xts, xes, qs, y_means, medians, keys)
+        return jax.lax.map(
+            lambda a: one_run(a[0], a[1], a[2], a[3], a[4], zero, a[5]),
+            (xts, xes, qs, y_means, medians, keys))
 
     return runner, n_frames
 
