@@ -161,13 +161,13 @@ class Experiment1:
         return np.vstack(recos), np.vstack(origs), np.hstack(wavs)
 
     def proposed_method(self, nb_folds=10, batched=True):
+        # No silent sequential fallback: a swallowed device-path failure
+        # masks regressions (and wouldn't catch silent corruption anyway —
+        # a TPU vmap miscompile zeroed 4 of 10 folds without raising; the
+        # lax.map runners fixed it).  _run_folds stays as the parity twin.
         args = self._construct_datasets_for_run(nb_folds)
         if batched:
-            try:
-                reco, orig, decoded_audio = self._run_folds_batched(args)
-            except Exception as e:  # pragma: no cover - compiler/runtime dependent
-                logger.warning("batched proposed folds failed (%s); sequential fallback", e)
-                reco, orig, decoded_audio = self._run_folds(args)
+            reco, orig, decoded_audio = self._run_folds_batched(args)
         else:
             reco, orig, decoded_audio = self._run_folds(args)
         sr = 16000
@@ -274,13 +274,9 @@ class Experiment1:
         return wav
 
     def run(self, randomization_runs=100, batched=True):
-        pm = self.proposed_method()
+        pm = self.proposed_method(batched=batched)
         if batched:
-            try:
-                rc = self.chance_level_batched(nb_runs=randomization_runs)
-            except Exception as e:  # pragma: no cover - depends on compiler/runtime
-                logger.warning("batched chance level failed (%s); falling back to sequential", e)
-                rc = self.chance_level(nb_runs=randomization_runs)
+            rc = self.chance_level_batched(nb_runs=randomization_runs)
         else:
             rc = self.chance_level(nb_runs=randomization_runs)
         return pm, rc
