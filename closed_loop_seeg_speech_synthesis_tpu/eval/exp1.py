@@ -131,10 +131,13 @@ class Experiment1:
             mask = np.ones(xt0.shape[1], bool)
             if len(bad):
                 mask[np.asarray(bad, int)] = False
+            # clamp to the stacked-feature count like select_features does
+            # (small sessions can have fewer than nb_feats features)
+            nf = min(nb_feats, 5 * int(mask.sum()))
             if shape_key not in runners:
                 runners[shape_key] = make_proposed_runner(
                     xt0.shape[0], xe0.shape[0], int(mask.sum()), float(eeg_sr),
-                    float(norm), nb_feats=nb_feats, dtype=dtype)
+                    float(norm), nb_feats=nf, dtype=dtype)
             runner, _ = runners[shape_key]
 
             for c0 in range(0, len(members), fold_batch):
@@ -225,9 +228,11 @@ class Experiment1:
             xe = jnp.asarray(x_test[:, mask], dtype)
             shape_key = (xt.shape, xe.shape, float(norm))
             if shape_key not in runners:
+                # clamp like select_features (small sessions < nb_feats)
+                nf = min(nb_feats, 5 * int(mask.sum()))
                 runners[shape_key] = make_chance_runner(
                     xt.shape[0], xe.shape[0], xt.shape[1], float(eeg_sr), float(norm),
-                    nb_feats=nb_feats, dtype=dtype)
+                    nb_feats=nf, dtype=dtype)
             runner, n_out = runners[shape_key]
             q, medians, y_mean = fold_targets(y_train)
             q_d, med_d, ym_d = jnp.asarray(q), jnp.asarray(medians, dtype), jnp.asarray(y_mean, dtype)
