@@ -129,7 +129,9 @@ n_proc = int(sys.argv[1]); pid = int(sys.argv[2]); port = sys.argv[3]
 n_local = int(sys.argv[4]); out_path = sys.argv[5]
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={n_local}").strip()
+                           + f" --xla_force_host_platform_device_count={n_local}"
+                           + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                           + " --xla_cpu_collective_timeout_seconds=1200").strip()
 import jax
 jax.config.update("jax_platforms", "cpu")
 from closed_loop_seeg_speech_synthesis_tpu.parallel import distributed as dist
@@ -179,7 +181,9 @@ n_proc = int(sys.argv[1]); pid = int(sys.argv[2]); port = sys.argv[3]
 n_local = int(sys.argv[4]); out_path = sys.argv[5]
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={n_local}").strip()
+                           + f" --xla_force_host_platform_device_count={n_local}"
+                           + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                           + " --xla_cpu_collective_timeout_seconds=1200").strip()
 import jax
 jax.config.update("jax_platforms", "cpu")
 from closed_loop_seeg_speech_synthesis_tpu.parallel import distributed as dist

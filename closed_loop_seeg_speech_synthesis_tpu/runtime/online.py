@@ -201,11 +201,11 @@ class OnlineDecoder:
 
     def run_stream(self, stream, stop_event: threading.Event | None = None,
                    max_packets: int | None = None, store_first_timestamp_to: str | None = None,
-                   backend=None, idle_timeout: float = 5.0):
+                   backend=None, idle_timeout: float = 30.0):
         """Pull from a live stream until stopped (decode.py:99-149).
 
         ``stream``: a StreamInlet or a stream name to resolve."""
-        inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
+        inlet = StreamInlet(stream, backend=backend) if isinstance(stream, str) else stream
         rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
         self.warmup()
         _pump_stream(inlet, rebuf, self.cfg.packet_size, self.process_packet,
@@ -372,11 +372,11 @@ class PersistentOnlineDecoder(OnlineDecoder):
     def run_stream(self, stream, stop_event: threading.Event | None = None,
                    max_packets: int | None = None,
                    store_first_timestamp_to: str | None = None,
-                   backend=None, idle_timeout: float = 5.0):
+                   backend=None, idle_timeout: float = 30.0):
         """Pull from a live stream until stopped — persistent-loop twin of
         ``OnlineDecoder.run_stream``: a feeder thread re-blocks inlet chunks
         into packets and enqueues them; the device loop runs in this thread."""
-        inlet = stream if isinstance(stream, StreamInlet) else StreamInlet(stream, backend=backend)
+        inlet = StreamInlet(stream, backend=backend) if isinstance(stream, str) else stream
         rebuf = PacketRebuffer(self.cfg.packet_size, inlet.channels)
         self.warmup()
         feeder_error = []

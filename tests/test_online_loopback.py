@@ -204,6 +204,42 @@ def test_persistent_loop_matches_per_packet(trained_session):
     np.testing.assert_array_equal(audio_c, audio_r)
 
 
+def test_persistent_loop_feeder_error_propagates(trained_session):
+    """A feeder crash (e.g. malformed chunk) must release the device loop via
+    the finally-feed_stop and re-raise in the caller, never hang."""
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import PersistentOnlineDecoder
+
+    session_dir, eeg, eeg_sr = trained_session
+    loaded = params_io.load_params(os.path.join(session_dir, "params.h5"), dtype=jnp.float64)
+    cfg = pipeline.DecoderConfig(sr=float(eeg_sr), n_channels=3, gl_norm=10.0,
+                                 dtype=jnp.float64)
+    dec_params = pipeline.build_decoder_params(cfg, loaded["lda"], loaded["medians"],
+                                               loaded["select"])
+    dec = PersistentOnlineDecoder(cfg, dec_params, bad_channels=loaded["bad_channels"],
+                                  key=jax.random.PRNGKey(0))
+
+    class BrokenInlet:
+        channels = 4
+        nominal_srate = eeg_sr
+
+        def __init__(self):
+            self.calls = 0
+
+        def pull_chunk(self, max_samples=64, timeout=0.25):
+            self.calls += 1
+            if self.calls > 2:
+                raise OSError("amplifier link dropped mid-read")
+            return eeg[(self.calls - 1) * 32 : self.calls * 32].astype(np.float32), 1.0
+
+    t0 = time.time()
+    with pytest.raises(OSError, match="amplifier link"):
+        dec.run_stream(BrokenInlet(), max_packets=64)
+    assert time.time() - t0 < 120, "feeder crash must not hang the device loop"
+    # the two packets decoded before the crash were still processed
+    assert len(dec.received) == 2
+
+
 def test_persistent_loop_run_stream_nsx(trained_session, tmp_path):
     """PersistentOnlineDecoder.run_stream over the native NSX transport."""
     from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
