@@ -30,6 +30,11 @@ from .metrics import extract_corrs_for_distribution, kfold_indices, pearson_corr
 
 logger = logging.getLogger("eval.exp1")
 
+# Stacked-feature multiplier of the runners' decoder config: the batched
+# runners build DecoderConfig with its default model_order, so the nb_feats
+# clamp below must track that same default (not a hardcoded 5).
+_N_TAPS = pipeline.DecoderConfig.__dataclass_fields__["model_order"].default + 1
+
 
 def train_decode_fold(k, eeg_train, audio_train, eeg_test, spec_test, eeg_sr, audio_sr,
                       bad_channels, norm_factor, dtype=None, key=None, nb_feats=150):
@@ -133,7 +138,7 @@ class Experiment1:
                 mask[np.asarray(bad, int)] = False
             # clamp to the stacked-feature count like select_features does
             # (small sessions can have fewer than nb_feats features)
-            nf = min(nb_feats, 5 * int(mask.sum()))
+            nf = min(nb_feats, _N_TAPS * int(mask.sum()))
             if shape_key not in runners:
                 runners[shape_key] = make_proposed_runner(
                     xt0.shape[0], xe0.shape[0], int(mask.sum()), float(eeg_sr),
@@ -229,7 +234,7 @@ class Experiment1:
             shape_key = (xt.shape, xe.shape, float(norm))
             if shape_key not in runners:
                 # clamp like select_features (small sessions < nb_feats)
-                nf = min(nb_feats, 5 * int(mask.sum()))
+                nf = min(nb_feats, _N_TAPS * int(mask.sum()))
                 runners[shape_key] = make_chance_runner(
                     xt.shape[0], xe.shape[0], xt.shape[1], float(eeg_sr), float(norm),
                     nb_feats=nf, dtype=dtype)

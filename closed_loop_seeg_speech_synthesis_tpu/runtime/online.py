@@ -66,9 +66,17 @@ def remote_relay_backend() -> bool:
     'axon' dev harness): programs execute relay-side while host-callback
     targets live in this process, so ``io_callback`` never connects and a
     persistent device loop hangs.  False on locally attached cpu/tpu — in
-    particular when tests force ``jax_platforms=cpu`` under a relay env."""
+    particular when tests force ``jax_platforms=cpu`` under a relay env.
+
+    A genuinely local accelerator in an environment that still carries the
+    relay env var can override the heuristic with
+    ``CLSS_ASSUME_LOCAL_BACKEND=1`` (the device platform name is not
+    distinguishable from a real TPU through the relay, so this cannot be
+    auto-probed without dispatching an io_callback that would hang)."""
     import os
 
+    if os.environ.get("CLSS_ASSUME_LOCAL_BACKEND"):
+        return False
     if not os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
         return False
     return jax.default_backend() not in ("cpu",)
@@ -266,6 +274,10 @@ class PersistentOnlineDecoder(OnlineDecoder):
         super().__init__(cfg, dec_params, bad_channels=bad_channels, key=key,
                          sink=sink, tracer=tracer)
         self._queue = queue_mod.Queue(maxsize=queue_size)
+        # guards the warmup queue swap against concurrent feed_packet calls
+        # (packets fed mid-warmup must land on the real queue, not the
+        # discarded warmup sentinel queue)
+        self._queue_lock = threading.Lock()
         self._build_loop()
 
     def _build_loop(self):
@@ -322,11 +334,13 @@ class PersistentOnlineDecoder(OnlineDecoder):
     def feed_packet(self, packet: np.ndarray):
         """Enqueue one fixed-size raw packet (packet_size, all_channels)."""
         self.received.append(packet)
-        self._queue.put((self._select(packet), self._DATA))
+        with self._queue_lock:
+            self._queue.put((self._select(packet), self._DATA))
 
     def feed_stop(self):
-        self._queue.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
-                                  np.float32), self._STOP))
+        with self._queue_lock:
+            self._queue.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
+                                      np.float32), self._STOP))
 
     def process_packet(self, packet: np.ndarray):
         raise NotImplementedError(
@@ -339,17 +353,21 @@ class PersistentOnlineDecoder(OnlineDecoder):
 
         Runs one stop-sentinel iteration against a private queue, so packets
         already enqueued stay untouched; the warmup carry is discarded, so
-        streaming state is not advanced and nothing is emitted."""
+        streaming state is not advanced and nothing is emitted.  The queue
+        lock is held for the duration, so concurrent ``feed_packet`` /
+        ``feed_stop`` callers block until the real queue is restored instead
+        of silently losing packets to the discarded warmup queue."""
         import queue as queue_mod
 
-        real, tmp = self._queue, queue_mod.Queue()
-        tmp.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
-                          np.float32), self._STOP))
-        self._queue = tmp
-        try:
-            jax.block_until_ready(self._run(self.carry))
-        finally:
-            self._queue = real
+        with self._queue_lock:
+            real, tmp = self._queue, queue_mod.Queue()
+            tmp.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
+                              np.float32), self._STOP))
+            self._queue = tmp
+            try:
+                jax.block_until_ready(self._run(self.carry))
+            finally:
+                self._queue = real
         self._warm = True
 
     def run_until_stopped(self):
