@@ -8,10 +8,19 @@ fractional 10.24-sample shift pattern [10,10,11,10,...].  Offline training
 uses the sibling grid ``start = int(round(k * shift * sr))``,
 ``stop = int(round(start + win * sr))`` (``local/offline.py:99-109``).
 
-Schedules are computed host-side with exact Python float64 + round semantics
-and handed to the device as integer arrays; shift sequences are periodic
-(10 ms @ 1024 Hz has period 25 frames = exactly 256 samples), which the
-online step exploits to track frame positions in pure integer arithmetic.
+Schedules are computed host-side in EXACT rational arithmetic
+(round-half-even on ``fsize + k * shift_samples`` with
+``shift_samples = shift_ms * sr / 1000`` as a Fraction) and handed to the
+device as integer arrays.  This matches the reference's float64 grid bit-for-
+bit at every rate where that grid is well-defined (no exact .5 ties — in
+particular 512/1024/2048 Hz, verified over 100k frames), and gives a
+well-defined periodic grid at tie rates where the reference's float
+evaluation round-half-evens on accumulated representation error (e.g.
+1025 Hz: exact ends hit x.5 every 4th frame).  Shift sequences are exactly
+periodic — period q (the reduced denominator of shift_samples; 10 ms @
+1024 Hz: 25 frames = exactly 256 samples) or 2q when ties make the rounding
+depend on integer parity — which the online step exploits to track frame
+positions in pure integer arithmetic for unbounded sessions at ANY rate.
 
 Features: ``log(sum(x^2) + 0.01)`` per window and channel
 (``livenodes/ECogFeatCalc.py:118-124``, ``local/offline.py:99-109``), then
@@ -44,53 +53,74 @@ def warm_start_prefill(frame_ms: float, shift_ms: float, sr: float) -> int:
     return frame_size(frame_ms, sr) - int((float(shift_ms) / 1000.0) * float(sr))
 
 
+def _exact_shift(shift_ms: float, sr: float):
+    """shift_ms * sr / 1000 as an exact Fraction (decimal reading of the
+    float reprs, so e.g. 10 ms @ 1024 Hz is exactly 256/25)."""
+    from fractions import Fraction
+
+    return Fraction(str(float(shift_ms))) * Fraction(str(float(sr))) / 1000
+
+
+def exact_frame_ends(frame_ms: float, shift_ms: float, sr: float, n: int) -> np.ndarray:
+    """The first ``n`` frame ends on the exact streaming grid.
+
+    e_k = round_half_even(fsize + k * shift_samples), evaluated in integer
+    arithmetic: with shift_samples = p/q reduced, e_k = N_k + tie(k) where
+    N_k = fsize + (k*p)//q and the x.5 tie (2*(k*p mod q) == q) rounds up
+    exactly when N_k is odd.  Equals the reference's float grid
+    (FrameBuffer.py:29,177) wherever that grid never lands on a tie.
+    """
+    fsize = frame_size(frame_ms, sr)
+    shift = _exact_shift(shift_ms, sr)
+    p, q = shift.numerator, shift.denominator
+    k = np.arange(n, dtype=np.int64)
+    N = fsize + (k * p) // q
+    rem = (k * p) % q
+    up = (2 * rem > q) | ((2 * rem == q) & (N % 2 == 1))
+    return N + up.astype(np.int64)
+
+
 def streaming_frame_ends(frame_ms: float, shift_ms: float, sr: float, total_len: int) -> np.ndarray:
     """All frame end positions e_k <= total_len on the streaming grid.
 
-    e_0 = frame_size; e_k = round((first_ms + k*shift_ms)/1000 * sr) with
-    Python round (FrameBuffer.py:29,177).  ``total_len`` counts samples
-    *including* any warm-start prefill.
+    e_0 = frame_size; e_k = round(fsize + k * shift_samples) in exact
+    rational arithmetic (see ``exact_frame_ends``; identical to the
+    reference's float grid FrameBuffer.py:29,177 at every non-tie rate).
+    ``total_len`` counts samples *including* any warm-start prefill.
     """
     fsize = frame_size(frame_ms, sr)
-    first_ms = (float(fsize) / float(sr)) * 1000.0
-    ends = []
-    k = 0
-    e = fsize
-    while e <= total_len:
-        ends.append(e)
-        k += 1
-        e = round(((first_ms + k * float(shift_ms)) / 1000.0) * float(sr))
-    return np.asarray(ends, dtype=np.int64)
+    if total_len < fsize:
+        return np.zeros(0, dtype=np.int64)
+    shift = _exact_shift(shift_ms, sr)
+    n_max = int((total_len - fsize) / shift) + 2
+    ends = exact_frame_ends(frame_ms, shift_ms, sr, n_max)
+    return ends[ends <= total_len]
 
 
 def shift_table(frame_ms: float, shift_ms: float, sr: float, check_horizon: int = 64) -> np.ndarray:
     """Exact periodic diff table for the streaming grid of this buffer.
 
-    d[i] = e_{k+1} - e_k for k ≡ i (mod period).  Periodicity is an exact
-    property only when the float expression round((first + k*shift)*sr/1000)
-    never lands on a tie broken inconsistently across periods; we therefore
-    VERIFY the candidate period against ``check_horizon`` full periods and
-    raise for schedules that are not truly periodic (the online decoder
-    relies on the table for unbounded sessions; such sample rates are
-    unsupported online — offline decoding still works via the non-periodic
-    framing path).
+    d[i] = e_{k+1} - e_k for k ≡ i (mod period).  On the exact grid the
+    diff sequence is always periodic: with shift_samples = p/q reduced, the
+    fractional parts repeat with period q, and the parity term that breaks
+    x.5 ties repeats with period 2q (N_{k+q} = N_k + p flips parity when p
+    is odd).  The candidate periods are verified against ``check_horizon``
+    full cycles; every rate yields a table, so online decoding is supported
+    at ANY sample rate (the refusal this function used to raise for
+    tie rates is gone — the grid itself is now exact).
     """
-    from fractions import Fraction
-
-    shift_samples = Fraction(str(float(shift_ms))) * Fraction(str(float(sr))) / 1000
-    q = shift_samples.denominator
-    fsize = frame_size(frame_ms, sr)
-    first_ms = (float(fsize) / float(sr)) * 1000.0
-    n = check_horizon * q + 4
-    ends = [round(((first_ms + k * float(shift_ms)) / 1000.0) * float(sr)) for k in range(n + 1)]
-    d = np.diff(np.asarray(ends, dtype=np.int64))
-    reps = np.tile(d[:q], len(d) // q + 1)[: len(d)]
-    if not np.array_equal(d, reps):
-        raise ValueError(
-            f"frame schedule at sr={sr}, shift={shift_ms} ms is not exactly "
-            f"periodic (rounding ties); online decoding unsupported for this rate"
-        )
-    return d[:q].astype(np.int32)
+    shift = _exact_shift(shift_ms, sr)
+    q = shift.denominator
+    n = 2 * q * check_horizon + 4
+    ends = exact_frame_ends(frame_ms, shift_ms, sr, n + 1)
+    d = np.diff(ends)
+    for P in (q, 2 * q):
+        reps = np.tile(d[:P], len(d) // P + 1)[: len(d)]
+        if np.array_equal(d, reps):
+            return d[:P].astype(np.int32)
+    raise AssertionError(
+        f"exact frame schedule at sr={sr}, shift={shift_ms} ms did not repeat "
+        f"with period {q} or {2*q}; this should be mathematically impossible")
 
 
 def offline_window_starts(win_s: float, shift_s: float, sr: float, total_len: int) -> np.ndarray:

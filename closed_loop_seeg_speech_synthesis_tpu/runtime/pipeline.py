@@ -175,14 +175,9 @@ def build_decoder_params(
     chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
     combined, warm = iir.make_warmstart_chain(chain, cfg.prefill)
     # block length = one schedule period when sane, enabling the fused
-    # frontend kernel (256 samples @1024 Hz, 512 @2048 Hz)
-    try:
-        table = framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr)
-    except ValueError:
-        # aperiodic schedule (rounding ties at this sample rate): offline
-        # decoding still works via the non-periodic framing path; the online
-        # step refuses to build (it needs the exact integer table).
-        table = np.zeros(0, np.int32)
+    # frontend kernel (256 samples @1024 Hz, 512 @2048 Hz); the exact grid
+    # yields a periodic table at EVERY rate (ops/framing.shift_table)
+    table = framing.shift_table(cfg.frame_len_ms, cfg.frame_shift_ms, cfg.sr)
     Ls = int(table.sum()) if len(table) else 0
     block = Ls if 64 <= Ls <= 2048 else cfg.iir_block
     filt_op = iir.make_blocked_iir(combined, block, dt)
@@ -423,9 +418,9 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
     P = cfg.packet_size
     period = int(params.shift_table.shape[0])
     if period == 0:
-        raise ValueError("online decoding needs an exactly periodic frame "
-                         "schedule; this sample rate has rounding ties "
-                         "(see ops.framing.shift_table)")
+        raise ValueError("decoder params carry an empty shift table; rebuild "
+                         "them with build_decoder_params (the exact grid is "
+                         "periodic at every rate, see ops.framing.shift_table)")
     n_slots = max_frames_per_packet(P, np.asarray(params.shift_table))
     w_ola = params.gl_ops.ola_window
     taps = np.arange(0, cfg.model_order * cfg.step_size + 1, cfg.step_size)
@@ -517,3 +512,27 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
         return new_carry, outputs
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_online_multi_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array,
+                           k_steps: int):
+    """K chained online steps as ONE jitted dispatch.
+
+    ``multi(carry, packets (K, packet_size, n_channels)) -> (carry, outputs)``
+    where outputs are the per-step dicts stacked on a leading K axis
+    (``lax.scan`` over the packet axis of the exact same step body), so the
+    decoded stream is bit-identical to K sequential ``make_online_step``
+    dispatches.  Use where per-dispatch overhead dominates the step itself
+    and a persistent ``io_callback`` loop cannot run (e.g. through a
+    remote-compile relay): overhead amortizes ~K x at the price of buffering
+    K packets — (K-1) packet periods of added playout latency (the
+    reference's own audio queue already tolerates ~4 packets / 128 ms,
+    JackAudioSink.py:111-118).
+    """
+    step = make_online_step(params, cfg, key)
+    raw = step.__wrapped__
+
+    def multi(carry: OnlineCarry, packets: jnp.ndarray):
+        return jax.lax.scan(raw, carry, packets)
+
+    return jax.jit(multi, donate_argnums=(0,))
