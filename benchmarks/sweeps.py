@@ -5,7 +5,7 @@ fused-kernel periods-per-grid-step (G x channels, informs the
 ``DecoderConfig.epilogue_periods`` auto-policy) and the online per-packet
 step latency.  Each prints one JSON line per point.
 
-Run:  python -m benchmarks.sweeps [gl_iters|channels|fused_periods|latency|all]
+Run:  python -m benchmarks.sweeps [gl_iters|channels|fused_periods|latency|chunked|all]
 
 Latency note: under the hosted TPU tunnel every dispatch pays a ~30 ms
 network round trip that does not exist on local hardware, so the latency
@@ -177,6 +177,41 @@ def sweep_latency(n_packets=200):
                       "vs_baseline": round(31.25 / (sustained * 1e3), 2)}))
 
 
+def sweep_chunked_dispatch(n_meas=40):
+    """Per-packet cost of K-step micro-batched dispatch (K packets buffered,
+    ONE device call via pipeline.make_online_multi_step).  Reports the
+    per-packet device-side time (relay floor subtracted, then divided by K)
+    and the raw per-dispatch wall — the knob trades (K-1) packet periods of
+    playout latency for ~K x less dispatch overhead where the persistent
+    io_callback loop cannot run (VERDICT r2 item #5)."""
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    cfg, params = _make({}, 128)
+    key = jax.random.PRNGKey(0)
+    for K in (1, 2, 4, 8):
+        if K == 1:
+            step = pipeline.make_online_step(params, cfg, key)
+        else:
+            step = pipeline.make_online_multi_step(params, cfg, key, K)
+        shape = ((cfg.packet_size, cfg.n_channels) if K == 1
+                 else (K, cfg.packet_size, cfg.n_channels))
+        pkts = jax.random.normal(jax.random.PRNGKey(1), (8,) + shape, jnp.float32)
+        stats = measure_dispatch_latency(step, pipeline.init_online_carry(params, cfg),
+                                         pkts, n_meas=n_meas)
+        print(json.dumps({
+            "metric": f"online_chunkK{K}_per_packet_device_ms",
+            "value": round(stats["device_p50_ms"] / K, 3),
+            "unit": "ms_per_packet (relay floor subtracted; p50/K)",
+            "vs_baseline": round(10.0 / max(stats["device_p50_ms"] / K, 1e-9), 2),
+            "dispatch_device_p50_ms": stats["device_p50_ms"],
+            "dispatch_device_p99_ms": stats["device_p99_ms"],
+            "dispatch_wall_p50_ms": stats["wall_p50_ms"],
+            "added_playout_latency_ms": round((K - 1) * 31.25, 2),
+        }))
+
+
 def measure_dispatch_latency(step, carry, packets, n_meas=60, n_floor=None):
     """Per-dispatch latency of `step` vs an RPC-pattern-matched floor.
 
@@ -207,7 +242,7 @@ def measure_dispatch_latency(step, carry, packets, n_meas=60, n_floor=None):
     n_out = int(out.shape[0])
     np.asarray(out)
 
-    floor_fn = jax.jit(lambda pkt: jnp.zeros((n_out,), jnp.float32) + pkt[0, 0])
+    floor_fn = jax.jit(lambda pkt: jnp.zeros((n_out,), jnp.float32) + pkt.ravel()[0])
     np.asarray(floor_fn(pkts_np[0]))  # compile
 
     floors, walls = [], []
@@ -244,6 +279,8 @@ def main():
         sweep_fused_periods()
     if which in ("latency", "all"):
         sweep_latency()
+    if which in ("chunked", "all"):
+        sweep_chunked_dispatch()
 
 
 if __name__ == "__main__":

@@ -73,12 +73,16 @@ def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None):
 
 def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
                             max_packets=None, backend=None, dtype=None,
-                            persistent=False):
+                            persistent=False, chunk_steps=1):
     """Closed loop against a live stream (decode.py:99-149).
 
     ``persistent=True`` runs the whole session as one device dispatch
     (lax.while_loop + io_callback I/O edges) instead of one dispatch per
-    packet — lower overhead on locally attached chips."""
+    packet — lower overhead on locally attached chips.
+
+    ``chunk_steps=K`` (per-packet mode only) decodes K buffered packets per
+    dispatch, amortizing dispatch overhead where the persistent loop cannot
+    run; adds (K-1) packet periods of playout latency."""
     from ..runtime.streams import StreamInlet
 
     dtype = dtype or pipeline.default_compute_dtype()
@@ -98,8 +102,15 @@ def perform_online_decoding(config, loaded, gl_norm, run_dir, stop_event=None,
                        "relay (host callbacks cannot cross it); using "
                        "per-packet dispatch")
         persistent = False
-    decoder_cls = online.PersistentOnlineDecoder if persistent else online.OnlineDecoder
-    decoder = decoder_cls(cfg, dec, bad_channels=loaded["bad_channels"], sink=sink)
+    if persistent:
+        decoder = online.PersistentOnlineDecoder(
+            cfg, dec, bad_channels=loaded["bad_channels"], sink=sink)
+        if chunk_steps > 1:
+            logger.warning("--dispatch-chunk is a per-packet-mode knob; the "
+                           "persistent loop already amortizes dispatch overhead")
+    else:
+        decoder = online.OnlineDecoder(cfg, dec, bad_channels=loaded["bad_channels"],
+                                       sink=sink, chunk_steps=chunk_steps)
 
     stop = stop_event or threading.Event()
     # Marker logging off the hot path.  The reference forks a process
@@ -158,6 +169,10 @@ def main(argv=None):
     parser.add_argument("--persistent", action="store_true",
                         help="Run the online loop as one persistent device "
                              "dispatch (io_callback I/O edges).")
+    parser.add_argument("--dispatch-chunk", type=int, default=1, metavar="K",
+                        help="Decode K buffered packets per device dispatch "
+                             "(per-packet mode): ~K x less dispatch overhead, "
+                             "(K-1) packet periods more playout latency.")
     args = parser.parse_args(argv)
 
     config = config_mod.load_config(args.config)
@@ -191,7 +206,8 @@ def main(argv=None):
     else:
         spectrogram, audio, received, sfreq = perform_online_decoding(
             config, loaded, gl_norm, run_dir, backend=args.backend,
-            max_packets=args.max_packets, persistent=args.persistent)
+            max_packets=args.max_packets, persistent=args.persistent,
+            chunk_steps=args.dispatch_chunk)
 
     store_decoding_to_file(run_dir, config, spectrogram, audio, received, sfreq)
     return run_dir

@@ -128,10 +128,21 @@ class OnlineDecoder:
     overlap the inter-packet interval instead of blocking the loop (the
     host-side twin of the amplifier's own 31 ms cadence).  Costs one packet
     period of added playout latency; leave off when device latency per step
-    is far below the packet cadence (a locally attached chip)."""
+    is far below the packet cadence (a locally attached chip).
+
+    ``chunk_steps=K`` (K > 1) buffers K packets and decodes them in ONE
+    device dispatch (``pipeline.make_online_multi_step``), amortizing
+    per-dispatch overhead ~K x where the persistent ``io_callback`` loop
+    cannot run (remote relay).  Decoded output is bit-identical to K=1; the
+    price is (K-1) packet periods of added playout latency — with the
+    Micromed cadence (31.25 ms) K=4 stays within the reference's own ~128 ms
+    audio-queue tolerance (JackAudioSink.py:111-118).  Composes with
+    ``pipelined``.  The stream tail (< K packets at stop) drains through the
+    single-step program."""
 
     def __init__(self, cfg: pipeline.DecoderConfig, dec_params, bad_channels=(),
-                 key=None, sink=None, tracer=None, pipelined: bool = False):
+                 key=None, sink=None, tracer=None, pipelined: bool = False,
+                 chunk_steps: int = 1):
         self.cfg = cfg
         self.params = dec_params
         self.bad_channels = np.asarray(bad_channels, int)
@@ -141,6 +152,13 @@ class OnlineDecoder:
         self.step = pipeline.make_online_step(dec_params, cfg, self.key)
         self.carry = pipeline.init_online_carry(dec_params, cfg)
         self.pipelined = pipelined
+        self.chunk_steps = int(chunk_steps)
+        if self.chunk_steps < 1:
+            raise ValueError("chunk_steps must be >= 1")
+        self.multi_step = (pipeline.make_online_multi_step(dec_params, cfg, self.key,
+                                                           self.chunk_steps)
+                           if self.chunk_steps > 1 else None)
+        self._chunk_buf = []   # packets awaiting a full K-chunk dispatch
         self._pending = None   # un-materialized device outputs of the last step
         self.spec_frames = []
         self.audio_chunks = []
@@ -153,12 +171,18 @@ class OnlineDecoder:
         return packet
 
     def warmup(self):
-        """Compile the step outside the realtime path."""
+        """Compile the step program(s) outside the realtime path."""
         dummy = jnp.zeros((self.cfg.packet_size, self.cfg.n_channels), self.cfg.dtype)
         carry, _ = self.step(self.carry, dummy)
         jax.block_until_ready(carry.sample_count)
-        # re-init: warmup must not advance state
         self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        if self.multi_step is not None:
+            dummies = jnp.zeros((self.chunk_steps, self.cfg.packet_size,
+                                 self.cfg.n_channels), self.cfg.dtype)
+            carry, _ = self.multi_step(self.carry, dummies)
+            jax.block_until_ready(carry.sample_count)
+            self.carry = pipeline.init_online_carry(self.params, self.cfg)
+        # re-init: warmup must not advance state
         self._warm = True
 
     def reset(self):
@@ -167,14 +191,20 @@ class OnlineDecoder:
         (FrameBuffer.py:52-57): call when the input process/stream changed."""
         self.carry = pipeline.init_online_carry(self.params, self.cfg)
         self._pending = None
+        self._chunk_buf = []
         self.spec_frames, self.audio_chunks, self.received = [], [], []
 
     def _emit(self, out):
-        """Materialize one step's device outputs and hand audio to the sink."""
+        """Materialize step outputs (single or K-stacked) and hand audio to
+        the sink.  Leading axes beyond the slot axis are flattened — scan
+        stacks steps in order and slots are ordered within a step, so the
+        flattened valid-masked sequence is the decoded stream."""
         spec = np.asarray(out["spec"])
-        sv = np.asarray(out["spec_valid"])
+        sv = np.asarray(out["spec_valid"]).reshape(-1)
+        spec = spec.reshape(-1, spec.shape[-1])
         audio = np.asarray(out["audio"])
-        av = np.asarray(out["audio_valid"])
+        av = np.asarray(out["audio_valid"]).reshape(-1)
+        audio = audio.reshape(-1, audio.shape[-1])
         self.tracer.mark("step_done")
         for i in np.nonzero(sv)[0]:
             self.spec_frames.append(spec[i])
@@ -183,29 +213,46 @@ class OnlineDecoder:
             self.sink.write(audio[i])
         self.tracer.mark("audio_out")
 
-    def process_packet(self, packet: np.ndarray):
-        """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
-        if not self._warm:
-            self.warmup()
-        self.received.append(packet)
-        sel = self._select(packet)
-        self.tracer.mark("packet_in")
-        self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+    def _dispatch(self, out):
         if self.pipelined:
-            # async dispatch: emit the PREVIOUS packet's outputs (already
-            # computed during the inter-packet interval) and leave this
-            # step's results on device
+            # async dispatch: emit the PREVIOUS outputs (already computed
+            # during the inter-packet interval), leave these on device
             prev, self._pending = self._pending, out
             if prev is not None:
                 self._emit(prev)
         else:
             self._emit(out)
 
+    def process_packet(self, packet: np.ndarray):
+        """One fixed-size raw packet (packet_size, all_channels) -> outputs."""
+        if not self._warm:
+            self.warmup()
+        self.received.append(packet)
+        sel = self._select(packet)
+        if self.multi_step is not None:
+            self._chunk_buf.append(sel)
+            if len(self._chunk_buf) < self.chunk_steps:
+                return
+            pkts = np.stack(self._chunk_buf)
+            self._chunk_buf = []
+            self.tracer.mark("packet_in")
+            self.carry, out = self.multi_step(self.carry, jnp.asarray(pkts, self.cfg.dtype))
+            self._dispatch(out)
+            return
+        self.tracer.mark("packet_in")
+        self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+        self._dispatch(out)
+
     def flush(self):
-        """Drain the pipelined tail (call at stream end)."""
+        """Drain the pipelined/chunked tail (call at stream end)."""
         if self._pending is not None:
             out, self._pending = self._pending, None
             self._emit(out)
+        # tail packets short of a full K-chunk: single-step program
+        for sel in self._chunk_buf:
+            self.carry, out = self.step(self.carry, jnp.asarray(sel, self.cfg.dtype))
+            self._emit(out)
+        self._chunk_buf = []
 
     def run_stream(self, stream, stop_event: threading.Event | None = None,
                    max_packets: int | None = None, store_first_timestamp_to: str | None = None,

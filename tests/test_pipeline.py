@@ -110,6 +110,29 @@ def test_online_step_matches_offline(trained):
     assert np.abs(audio_on.astype(int) - audio_ref.astype(int)).max() <= 1
 
 
+def test_chunked_dispatch_matches_single(trained):
+    """OnlineDecoder(chunk_steps=K) decodes K packets per dispatch;
+    bit-identical outputs to per-packet dispatch, including a stream tail
+    that is not a multiple of K (drained through the single-step program)."""
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import OnlineDecoder
+
+    rng, eeg, res, cfg, dec = trained
+    n_pkts = 101  # NOT a multiple of 4: exercises the tail drain
+    packets = [eeg[i * 32 : (i + 1) * 32] for i in range(n_pkts)]
+
+    outs = []
+    for chunk_steps, pipelined in ((1, False), (4, False), (4, True)):
+        d = OnlineDecoder(cfg, dec, key=jax.random.PRNGKey(3),
+                          chunk_steps=chunk_steps, pipelined=pipelined)
+        for p in packets:
+            d.process_packet(p)
+        outs.append(d.results())
+    for spec, audio, received in outs[1:]:
+        np.testing.assert_array_equal(spec, outs[0][0])
+        np.testing.assert_array_equal(audio, outs[0][1])
+        np.testing.assert_array_equal(received, outs[0][2])
+
+
 def test_params_roundtrip(tmp_path, trained):
     rng, eeg, res, cfg, dec = trained
     path = params_io.store_training(str(tmp_path), res, bad_channels=[2, 5])
