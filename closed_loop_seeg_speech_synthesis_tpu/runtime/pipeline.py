@@ -82,6 +82,14 @@ class DecoderConfig:
     # same jnp code already diverges O(1) between CPU and TPU); golden
     # equality tests run the jnp path in float64.
     use_pallas_gl: bool = True
+    # Fuse the vocoder tail (cross-block overlap-add + window-sum
+    # normalization + 7.9 kHz low-pass + int16) into the Griffin-Lim kernel:
+    # the (B, 480) reconstructed blocks never reach HBM and the low-pass
+    # Toeplitz shrinks 4096 -> 160 per sample (its HIGHEST-precision matmul
+    # dominated the old tail stage; boundary states come from a truncated
+    # power sum, see ops/pallas_gl._gl_audio_kernel).  "auto" = on whenever
+    # the pallas GL kernel runs.
+    use_pallas_gl_tail: Any = "auto"
     # Fused filter-chain + log-power kernel (raw sEEG read from HBM once,
     # boundary state carried in scratch across the sequential TPU grid).
     use_pallas_frontend: bool = True
@@ -101,6 +109,12 @@ class DecoderConfig:
     # (VMEM pressure and tail padding start to cost more than the
     # amortization saves).
     epilogue_periods: Any = "auto"
+
+    @property
+    def fused_gl_tail(self) -> bool:
+        if self.use_pallas_gl_tail == "auto":
+            return True
+        return bool(self.use_pallas_gl_tail)
 
     @property
     def fused_epilogue(self) -> bool:
@@ -304,7 +318,18 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
         stacked = framing.stack_context(F, cfg.model_order, cfg.step_size, zero_pad=True)
         mel_frames = _frames_to_mel(params, stacked)
 
-    if cfg.use_pallas_gl and cfg.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    use_pallas_gl = (cfg.use_pallas_gl and cfg.dtype == jnp.float32
+                     and jax.default_backend() == "tpu")
+    if use_pallas_gl and cfg.fused_gl_tail:
+        # one kernel: GL iterations + overlap-add + low-pass + int16; the
+        # (B, 480) block waveforms never reach HBM
+        from ..ops.pallas_gl import gl_audio_pallas
+
+        audio = gl_audio_pallas(mel_frames, rand_init, params.gl_ops,
+                                params.lowpass_op, float(cfg.gl_norm),
+                                cfg.gl_iterations, cfg.phase_bug)
+        return mel_frames, audio
+    if use_pallas_gl:
         from ..ops.pallas_gl import gl_blocks_pallas
 
         re = gl_blocks_pallas(mel_frames, rand_init, params.gl_ops,

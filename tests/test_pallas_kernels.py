@@ -24,6 +24,36 @@ def test_pallas_gl_matches_jnp(rng, phase_bug):
     np.testing.assert_allclose(np.asarray(re_p), np.asarray(re_ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("phase_bug", [True, False])
+def test_pallas_gl_audio_matches_jnp_tail(rng, phase_bug):
+    """Fused GL+tail kernel == jnp GL -> overlap_add_stream -> blocked
+    low-pass -> int16, including the first-blocks window-sum special cases
+    and the cross-tile OLA/low-pass carries (B spans multiple tiles and a
+    partial tail tile)."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops import filter_design as fd
+    from closed_loop_seeg_speech_synthesis_tpu.ops import iir
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_gl import gl_audio_pallas
+
+    ops = gl.make_streaming_gl_ops(dtype=jnp.float32)
+    B = 21  # tiles of 8 -> 2 full tiles + partial
+    logmels = jnp.asarray(rng.randn(B + 1, 40) * 0.5 - 1.0, jnp.float32)
+    rand = jnp.asarray(rng.rand(B, 480), jnp.float32)
+    norm = 10.0
+
+    re_ref = gl.streaming_gl_blocks(logmels, rand, ops, 8, phase_bug)
+    raw = gl.overlap_add_stream(re_ref, ops)
+    lp_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos())
+    lp_op = iir.make_blocked_iir(lp_ss, 160, jnp.float32)
+    lp, _ = iir.iir_blocked(lp_op, raw[:, None], jnp.zeros((lp_ss.dim, 1), jnp.float32))
+    audio_ref = np.asarray(gl.to_int16(lp[:, 0], norm))
+
+    audio_p = np.asarray(gl_audio_pallas(logmels, rand, ops, lp_op, norm, 8,
+                                         phase_bug, tile=8, interpret=True))
+    assert audio_p.shape == audio_ref.shape == (B * 160,)
+    # f32 kernel vs f32 jnp path at different block lengths: within 1 LSB
+    assert np.abs(audio_p.astype(int) - audio_ref.astype(int)).max() <= 1
+
+
 @pytest.mark.parametrize("sr", [1024.0, 2048.0])
 def test_pallas_frontend_matches_jnp(rng, sr):
     C = 16
