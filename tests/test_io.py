@@ -34,13 +34,17 @@ def _stream_header(sid, name, stype, channels, srate, fmt, ch_labels=None):
     return _chunk(2, struct.pack("<I", sid) + xml.encode())
 
 
-def _numeric_samples(sid, data, t0, srate, ts_every=64):
-    """Sample chunk: explicit timestamp every ts_every samples, deduced rest."""
+def _numeric_samples(sid, data, t0, srate, ts_every=64, jitter=None):
+    """Sample chunk: explicit timestamp every ts_every samples, deduced rest.
+    ``jitter``: optional per-explicit-stamp offsets (recording jitter)."""
     out = struct.pack("<I", sid) + _varlen(len(data))
     parts = [out]
     for i, row in enumerate(data):
         if i % ts_every == 0:
-            parts.append(bytes([8]) + struct.pack("<d", t0 + i / srate))
+            t = t0 + i / srate
+            if jitter is not None:
+                t += float(jitter[(i // ts_every) % len(jitter)])
+            parts.append(bytes([8]) + struct.pack("<d", t))
         else:
             parts.append(bytes([0]))
         parts.append(np.asarray(row, "<f4").tobytes())
@@ -193,6 +197,113 @@ def test_xdf_clock_reset_segments(tmp_path, rng):
     streams_off, _ = xdf.load_xdf(path, handle_clock_resets=False)
     ts_off = streams_off[0]["time_stamps"]
     assert not np.all(np.diff(ts_off) > 0) or abs(ts_off[0] - 1005.0) > 0.5
+
+
+def test_xdf_sync_order_golden(tmp_path, rng):
+    """Drift + clock reset + timestamp jitter simultaneously: our
+    dejitter-before-sync order equals the pyxdf order (sync first, then
+    dejitter; reference local/xdf.py:439-571) and both recover the known
+    ground-truth recorder timestamps.
+
+    Why equality holds: per clock segment the sync is one affine map
+    ts -> ts + a + b*(ts - t0), and the de-jitter is a least-squares
+    projection whose design matrix includes an intercept — projections with
+    intercept commute with affine maps of the data, so the two orders agree
+    exactly as long as both split segments at the same reset boundaries
+    (both split at backwards timestamp jumps).  This test pins that
+    equivalence on the nastiest fixture instead of leaving it to argument.
+    """
+    sr = 256
+    n1, n2 = 1024, 768
+    eeg1 = rng.randn(n1, 2).astype(np.float32)
+    eeg2 = rng.randn(n2, 2).astype(np.float32)
+    jit1 = (rng.rand(n1 // 16 + 1) - 0.5) * 0.004   # +-2 ms recording jitter
+    jit2 = (rng.rand(n2 // 16 + 1) - 0.5) * 0.004
+
+    blob = b"XDF:" + _chunk(1, b"<info><version>1.0</version></info>")
+    blob += _stream_header(1, "Micromed", "EEG", 2, sr, "float32")
+    # clock segment A: offset 5.0 with 100 ppm drift (recorder runs fast)
+    for t in (1000.0, 1001.0, 1002.0, 1003.0, 1004.0):
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 5.0 + 1e-4 * (t - 1000.0)))
+    blob += _numeric_samples(1, eeg1, 1000.0, sr, ts_every=16, jitter=jit1)
+    # reset: source clock restarts near 1; offset jumps to ~1008 with its
+    # own (different) drift
+    for t in (1.0, 2.0, 3.0, 4.0):
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 1008.0 + 5e-5 * (t - 1.0)))
+    blob += _numeric_samples(1, eeg2, 1.0, sr, ts_every=16, jitter=jit2)
+    path = str(tmp_path / "nasty.xdf")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    # ground truth recorder-time stamps
+    src1 = 1000.0 + np.arange(n1) / sr
+    src2 = 1.0 + np.arange(n2) / sr
+    truth = np.concatenate([src1 + 5.0 + 1e-4 * (src1 - 1000.0),
+                            src2 + 1008.0 + 5e-5 * (src2 - 1.0)])
+
+    streams, _ = xdf.load_xdf(path)          # dejitter -> sync (our order)
+    ts_ours = streams[0]["time_stamps"]
+    assert len(ts_ours) == n1 + n2
+
+    # pyxdf order: sync first on RAW timestamps, then dejitter
+    raw, _ = xdf.load_xdf(path, synchronize_clocks=False, dejitter_timestamps=False)
+    ts_raw = raw[0]["time_stamps"]
+
+    class _Shim:
+        clock_times = [1000.0, 1001.0, 1002.0, 1003.0, 1004.0, 1.0, 2.0, 3.0, 4.0]
+        clock_values = [5.0 + 1e-4 * (t - 1000.0) for t in (1000.0, 1001.0, 1002.0, 1003.0, 1004.0)] + \
+                       [1008.0 + 5e-5 * (t - 1.0) for t in (1.0, 2.0, 3.0, 4.0)]
+
+    ts_ref = xdf._dejitter(xdf._apply_clock_sync(_Shim(), ts_raw, True), sr)
+
+    # Across a reset the orders are NOT bit-identical: sync-first erases the
+    # backwards jump, so the subsequent de-jitter fits ONE line across the
+    # reset's slope change (pyxdf behavior); dejitter-first keeps the
+    # segments separate.  The divergence is bounded by the reset kink
+    # (sub-ms here); both orders must recover ground truth below the
+    # injected +-2 ms jitter.
+    err_ours = np.max(np.abs(ts_ours - truth))
+    err_ref = np.max(np.abs(ts_ref - truth))
+    assert err_ours < 1e-3, err_ours
+    assert err_ref < 1e-3, err_ref
+    assert np.max(np.abs(ts_ours - ts_ref)) < 1e-3
+    assert np.all(np.diff(ts_ours) > 0)
+
+
+def test_xdf_sync_order_commutes_without_reset(tmp_path, rng):
+    """Drift + jitter, NO reset: dejitter-before-sync == sync-before-dejitter
+    exactly (the de-jitter projection has an intercept column, so it commutes
+    with the affine clock map; see test_xdf_sync_order_golden for the reset
+    case where the orders legitimately diverge)."""
+    sr = 256
+    n = 1024
+    eeg = rng.randn(n, 2).astype(np.float32)
+    jit = (rng.rand(n // 16 + 1) - 0.5) * 0.004
+
+    blob = b"XDF:" + _chunk(1, b"<info><version>1.0</version></info>")
+    blob += _stream_header(1, "Micromed", "EEG", 2, sr, "float32")
+    cts = (1000.0, 1001.0, 1002.0, 1003.0, 1004.0)
+    for t in cts:
+        blob += _chunk(4, struct.pack("<I", 1) + struct.pack("<dd", t, 5.0 + 1e-4 * (t - 1000.0)))
+    blob += _numeric_samples(1, eeg, 1000.0, sr, ts_every=16, jitter=jit)
+    path = str(tmp_path / "drift.xdf")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    streams, _ = xdf.load_xdf(path)
+    ts_ours = streams[0]["time_stamps"]
+    raw, _ = xdf.load_xdf(path, synchronize_clocks=False, dejitter_timestamps=False)
+
+    class _Shim:
+        clock_times = list(cts)
+        clock_values = [5.0 + 1e-4 * (t - 1000.0) for t in cts]
+
+    ts_ref = xdf._dejitter(xdf._apply_clock_sync(_Shim(), raw[0]["time_stamps"], True), sr)
+    np.testing.assert_allclose(ts_ours, ts_ref, rtol=0, atol=1e-9)
+
+    src = 1000.0 + np.arange(n) / sr
+    truth = src + 5.0 + 1e-4 * (src - 1000.0)
+    assert np.max(np.abs(ts_ours - truth)) < 5e-4
 
 
 def test_xdfz_gzip_roundtrip(tmp_path, rng):
