@@ -1,0 +1,224 @@
+"""Paced real-time soak: dev streamer at true Micromed cadence -> decoder.
+
+The loopback tests feed as-fast-as-possible; this harness is the rehearsal
+the reference sanctions before a live session (README.md:129-134,
+dev_lsl_streamer.py:45-89): the fake amplifier pushes 32-sample packets
+every 31.25 ms over the NSX transport for ``duration_s`` seconds while the
+online decoder keeps up in real time, its audio drained by a fake soundcard
+callback popping 256-sample blocks every 16 ms from the same
+``BoundedBlockQueue`` (max 8 blocks, drop beyond) the reference's JACK sink
+uses (JackAudioSink.py:111-118).
+
+Pass criteria (VERDICT r2 #8): exact packet count, zero dropped blocks and
+zero xruns after the 2-block playout warmup (PyAudioSink.py:77-83 waits for
+2 blocks the same way), per-packet latency percentiles recorded.
+
+Run:  python benchmarks/soak.py [duration_s] [n_channels]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("NSX_REGISTRY_DIR", "/tmp/nsx_soak")
+
+
+class FakeSoundcardSink:
+    """Audio sink with the reference's bounded-queue policy plus a consumer
+    emulating the soundcard callback (256-sample blocks at 16 kHz,
+    JackAudioSink.py:64-70), clocked by the INPUT stream.
+
+    Why input-clocked rather than wall-clocked: the amplifier is the clock
+    master of the closed loop — audio falls due as sEEG packets arrive
+    (31.25 ms of input == 500 samples == ~2 blocks of output).  A wall-clock
+    drain thread on a contended host charges the decoder for *streamer*
+    scheduling stalls (the paced software amplifier bursts on catch-up,
+    momentarily overflowing the 8-block queue) — artifacts a hardware
+    amplifier cannot produce.  Popping blocks as they fall due against the
+    packet counter measures exactly the soak's question: did the decoder's
+    audio keep pace with its input, within ``grace_packets`` of processing
+    slack.  An underrun (pop on empty at due time) means the decoder fell
+    behind by more than the grace; an overflow cannot be masked because
+    production ahead of the due clock still drops at the queue bound.
+    """
+
+    def __init__(self, block_size=256, max_blocks=8, audio_sr=16000,
+                 packet_period_s=0.03125, grace_packets=1):
+        from closed_loop_seeg_speech_synthesis_tpu.runtime.audio import BoundedBlockQueue
+
+        self.queue = BoundedBlockQueue(block_size, max_blocks)
+        self._samples_per_packet = packet_period_s * audio_sr
+        self._block = block_size
+        self._grace = grace_packets
+        self._started = False
+        self._played = 0
+        self._packets = 0
+        self._packets_at_start = 0
+        self._lock = threading.Lock()
+
+    def packet_arrived(self):
+        """Called per input packet (the due clock)."""
+        with self._lock:
+            self._packets += 1
+            self._catch_up()
+
+    def write(self, samples):
+        self.queue.push(samples)
+        with self._lock:
+            if not self._started and len(self.queue) >= 2:
+                self._packets_at_start = self._packets
+                self._started = True
+            self._catch_up()
+
+    def _catch_up(self):
+        """Consume every block that is due on the input clock.  Runs inside
+        the producing/arrival events rather than on a thread: the callback of
+        a real soundcard fires on the hardware clock no matter how starved
+        the host's Python threads are, and the due count only advances with
+        input packets, so evaluating it at event edges loses nothing."""
+        if not self._started:
+            return
+        lead = self._packets - self._packets_at_start - self._grace
+        due = max(0, int(lead * self._samples_per_packet / self._block))
+        while self._played < due:
+            self.queue.pop()  # None -> xrun counted by the queue
+            self._played += 1
+
+    def snapshot(self):
+        return {"dropped_blocks": self.queue.dropped_blocks,
+                "xruns": self.queue.xruns, "blocks_played": self._played,
+                "playout_started": self._started}
+
+    def close(self):
+        pass
+
+
+def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
+             stream_name="soak_sEEG", chunk_steps=1, seed=0):
+    """Returns the metrics dict (also usable under pytest)."""
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.cli import dev_streamer
+    from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import OnlineDecoder
+
+    dtype = dtype or jnp.float32
+    rng = np.random.RandomState(seed)
+    cfg = pipeline.DecoderConfig(sr=float(sr), n_channels=n_channels,
+                                 packet_size=64 if sr == 2048 else 32, dtype=dtype)
+    nf = min(150, 5 * n_channels)
+    lda_params = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, nf) * 0.1, dtype),
+        intercept=jnp.asarray(rng.randn(40, 9), dtype),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool),
+    )
+    medians = np.sort(rng.randn(40, 9), axis=1)
+    select = rng.permutation(5 * n_channels)[:nf]
+    params = pipeline.build_decoder_params(cfg, lda_params, medians, select)
+
+    n_packets = int(duration_s * sr) // cfg.packet_size
+    eeg = rng.randn(n_packets * cfg.packet_size, n_channels).astype(np.float32)
+
+    sink = FakeSoundcardSink(packet_period_s=cfg.packet_size / float(sr))
+    dec = OnlineDecoder(cfg, params, key=jax.random.PRNGKey(seed), sink=sink,
+                        chunk_steps=chunk_steps)
+    dec.warmup()
+
+    # Separate puller and decode threads: the puller does microseconds of
+    # work per packet, so its timestamps are the closest host-side proxy for
+    # amplifier arrival; the decoder drains its backlog queue.  With the
+    # single pump loop of run_stream, a slow decoder would stall the pulls
+    # and the input-clocked sink would never see the lag.
+    import collections
+
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.online import PacketRebuffer
+    from closed_loop_seeg_speech_synthesis_tpu.runtime.streams import StreamInlet
+
+    backlog = collections.deque()
+    state = {"max_backlog": 0, "pulled": 0}
+    pull_done = threading.Event()
+
+    def puller():
+        inlet = StreamInlet(stream_name, backend="nsx")
+        rebuf = PacketRebuffer(cfg.packet_size, n_channels)
+        idle_deadline = time.perf_counter() + 120.0
+        while state["pulled"] < n_packets and time.perf_counter() < idle_deadline:
+            chunk, _ts = inlet.pull_chunk(max_samples=cfg.packet_size, timeout=0.25)
+            if not len(chunk):
+                continue
+            idle_deadline = time.perf_counter() + 120.0
+            for pkt in rebuf.push(chunk):
+                sink.packet_arrived()
+                backlog.append(pkt)
+                state["pulled"] += 1
+        pull_done.set()
+
+    def decode_loop():
+        done = 0
+        while done < n_packets:
+            if backlog:
+                state["max_backlog"] = max(state["max_backlog"], len(backlog))
+                dec.process_packet(backlog.popleft())
+                done += 1
+            elif pull_done.is_set() and not backlog:
+                break
+            else:
+                time.sleep(0.001)
+
+    tp = threading.Thread(target=puller)
+    td = threading.Thread(target=decode_loop)
+    tp.start()
+    td.start()
+    t0 = time.perf_counter()
+    sent = dev_streamer.stream_eeg(eeg, sr, stream_name, asap=False,
+                                   backend="nsx", wait_for_consumers=60.0)
+    stream_wall = time.perf_counter() - t0
+    tp.join(timeout=180)
+    td.join(timeout=duration_s + 120)
+    assert not td.is_alive(), "decoder did not finish after the paced stream"
+    audio_state = sink.snapshot()
+    sink.close()
+
+    spec, audio, received = dec.results()
+    lat = dec.latency_report()
+    metrics = {
+        "duration_s": duration_s,
+        "packets_expected": n_packets,
+        "packets_received": int(len(received)) // cfg.packet_size,
+        "samples_received": int(len(received)),
+        "samples_sent": int(sent),
+        "frames_decoded": int(len(spec)),
+        "audio_samples": int(len(audio)),
+        "stream_wall_s": round(stream_wall, 2),
+        "pacing_drift_s": round(stream_wall - duration_s, 3),
+        "latency_p50_ms": round(lat[50] * 1e3, 3),
+        "latency_p95_ms": round(lat[95] * 1e3, 3),
+        "latency_p99_ms": round(lat[99] * 1e3, 3),
+        "max_backlog_packets": state["max_backlog"],
+        **audio_state,
+    }
+    return metrics
+
+
+def main(duration_s=60.0, n_channels=128):
+    m = run_soak(float(duration_s), n_channels=int(n_channels))
+    print(json.dumps({"metric": "soak_paced_realtime", "value": m["latency_p99_ms"],
+                      "unit": "ms_p99_per_packet (31.25 ms cadence)",
+                      "vs_baseline": round(10.0 / max(m["latency_p99_ms"], 1e-9), 2),
+                      **m}))
+    assert m["samples_received"] == m["samples_sent"], "packet loss in paced soak"
+    assert m["dropped_blocks"] == 0 and m["xruns"] == 0, m
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])
