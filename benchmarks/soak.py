@@ -102,8 +102,19 @@ class FakeSoundcardSink:
 
 
 def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
-             stream_name="soak_sEEG", chunk_steps=1, seed=0):
-    """Returns the metrics dict (also usable under pytest)."""
+             stream_name="soak_sEEG", chunk_steps=1, seed=0,
+             grace_packets=None):
+    """Returns the metrics dict (also usable under pytest).
+
+    ``chunk_steps=K`` buffers K packets per device dispatch (the relay/TPU
+    amortization mode).  Audio then arrives in ~2K-block bursts, lagging
+    arrivals by up to K + dispatch-wall packets — that lag IS the mode's
+    documented playout-latency tradeoff, so the due clock's grace and the
+    queue bound scale with it: grace defaults to K+1 packets (local
+    dispatch; pass a larger value when each dispatch pays a relay RTT) and
+    the queue is provisioned for the declared latency.  At K=1 the
+    reference's exact envelope applies: 8 blocks, 128 ms
+    (JackAudioSink.py:111-118)."""
     import jax
     import jax.numpy as jnp
     from closed_loop_seeg_speech_synthesis_tpu.cli import dev_streamer
@@ -129,7 +140,13 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
     n_packets = int(duration_s * sr) // cfg.packet_size
     eeg = rng.randn(n_packets * cfg.packet_size, n_channels).astype(np.float32)
 
-    sink = FakeSoundcardSink(packet_period_s=cfg.packet_size / float(sr))
+    if grace_packets is None:
+        grace_packets = chunk_steps + 1 if chunk_steps > 1 else 1
+    spp = cfg.packet_size / float(sr) * 16000.0  # audio samples per packet
+    max_blocks = 8 if chunk_steps == 1 else int(np.ceil((grace_packets + 2) * spp / 256)) + 2
+    sink = FakeSoundcardSink(max_blocks=max_blocks,
+                             packet_period_s=cfg.packet_size / float(sr),
+                             grace_packets=grace_packets)
     dec = OnlineDecoder(cfg, params, key=jax.random.PRNGKey(seed), sink=sink,
                         chunk_steps=chunk_steps)
     dec.warmup()
@@ -205,6 +222,9 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
         "latency_p95_ms": round(lat[95] * 1e3, 3),
         "latency_p99_ms": round(lat[99] * 1e3, 3),
         "max_backlog_packets": state["max_backlog"],
+        "chunk_steps": chunk_steps,
+        "playout_grace_ms": round(grace_packets * cfg.packet_size / float(sr) * 1e3, 1),
+        "queue_max_blocks": max_blocks,
         **audio_state,
     }
     return metrics

@@ -5,7 +5,9 @@ fused-kernel periods-per-grid-step (G x channels, informs the
 ``DecoderConfig.epilogue_periods`` auto-policy) and the online per-packet
 step latency.  Each prints one JSON line per point.
 
-Run:  python -m benchmarks.sweeps [gl_iters|channels|fused_periods|latency|chunked|all]
+Run:  python -m benchmarks.sweeps [gl_iters|channels|fused_periods|matrix|latency|chunked|all]
+("matrix" = the interleaved full-matrix dataset; not part of "all" because
+it subsumes the channel/G sweeps at 3x the runtime)
 
 Latency note: under the hosted TPU tunnel every dispatch pays a ~30 ms
 network round trip that does not exist on local hardware, so the latency
@@ -104,6 +106,83 @@ def sweep_fused_periods():
             print(json.dumps({"metric": f"replay_xrt_fused_{ch}ch_G{G}",
                               "value": round(xrt, 1), "unit": "x_realtime",
                               "vs_baseline": round(xrt / 1000, 3)}))
+
+
+def sweep_matrix(reps=5, duration_s=1800.0):
+    """The full config matrix as ONE interleaved dataset (VERDICT r2 #3).
+
+    Round-robins every config of a channel group through the same
+    measurement loop — rep r of config A runs seconds before rep r of
+    config B — so host/relay drift hits all configs equally and min-of-N
+    is comparable across the whole table.  Groups by channel count only to
+    bound live HBM (each group's replay buffers are freed before the next).
+
+    Points per group: split front-end, fused G in {1,2,4,8}; at 128 ch
+    additionally gl_iters {16,32} and the vocoder-tail A/B (fused GL+tail
+    kernel vs GL kernel + XLA tail).  Emits one JSON line per point with
+    all rep walls, plus a policy-suggestion line per group.
+    """
+    import jax
+    import jax.numpy as jnp
+    from closed_loop_seeg_speech_synthesis_tpu.ops import framing, griffinlim as gl
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
+
+    for ch in (64, 128, 256):
+        points = [("split", {"use_pallas_epilogue": False})]
+        points += [(f"fusedG{G}", {"use_pallas_epilogue": True, "epilogue_periods": G})
+                   for G in (1, 2, 4, 8)]
+        if ch == 128:
+            points += [(f"gl{it}", {"gl_iterations": it}) for it in (16, 32)]
+            points += [("tail_split", {"use_pallas_gl_tail": False})]
+
+        built = []
+        T = int(1024.0 * duration_s)
+        eegs = [jax.random.normal(jax.random.PRNGKey(i), (T, ch), jnp.float32)
+                for i in range(2)]
+        for name, kw in points:
+            cfg, params = _make(kw, ch)
+            ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms,
+                                                cfg.sr, T + cfg.prefill)
+            nf = len(ends)
+            S, Ls, P, origin = framing.periodic_window_matrix(ends, cfg.win)
+            aux = (jnp.asarray(ends, jnp.int32),
+                   gl.default_rand_init(jax.random.PRNGKey(0), nf - 1, 0, jnp.float32),
+                   jnp.asarray(S, jnp.float32), (Ls, P, origin, nf))
+            built.append((name, cfg, params, aux))
+        jax.block_until_ready(eegs)
+
+        def run(entry, e):
+            _name, cfg, params, (ends_d, rand, S_d, plan) = entry
+            spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand, S_d, plan)
+            return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
+
+        for entry in built:  # compile everything before any timing
+            run(entry, eegs[0])
+
+        walls = {name: [] for name, *_ in built}
+        for rep in range(reps):
+            for entry in built:
+                e = eegs[rep % len(eegs)]
+                t0 = time.perf_counter()
+                run(entry, e)
+                walls[entry[0]].append(time.perf_counter() - t0)
+
+        xrts = {}
+        for name, *_ in built:
+            w = min(walls[name])
+            xrts[name] = duration_s / w
+            print(json.dumps({"metric": f"matrix_xrt_{ch}ch_{name}",
+                              "value": round(duration_s / w, 1), "unit": "x_realtime",
+                              "vs_baseline": round(duration_s / w / 1000, 3),
+                              "walls_s": [round(x, 4) for x in walls[name]]}))
+        best_g = max((n for n in xrts if n.startswith("fusedG")), key=lambda n: xrts[n])
+        print(json.dumps({"metric": f"matrix_policy_{ch}ch", "value": xrts[best_g],
+                          "unit": "x_realtime", "vs_baseline": 0.0,
+                          "best": best_g,
+                          "fused_over_split": round(
+                              max(xrts[n] for n in xrts if n.startswith("fusedG"))
+                              / xrts["split"], 3)}))
+        del built, eegs
 
 
 def sweep_latency(n_packets=200):
@@ -277,6 +356,8 @@ def main():
         sweep_channels()
     if which in ("fused_periods", "all"):
         sweep_fused_periods()
+    if which in ("matrix",):
+        sweep_matrix()
     if which in ("latency", "all"):
         sweep_latency()
     if which in ("chunked", "all"):

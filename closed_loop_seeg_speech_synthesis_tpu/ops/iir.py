@@ -182,23 +182,48 @@ class BlockedIIR:
         return self.Cpow.shape[1]
 
 
+def _prefix_powers(A: np.ndarray, L: int) -> np.ndarray:
+    """(L+1, S, S) table of A^0 .. A^L via log-doubling.
+
+    A naive ``Apow[t] = Apow[t-1] @ A`` loop issues L tiny GEMMs whose
+    fixed per-call overhead (BLAS threadpool wakeup) dominates at the
+    block sizes used here (L up to 4096) — observed ~10 ms/call on a
+    contended 1-core host, i.e. ~40 s per table.  Doubling builds the same
+    table in ceil(log2 L) batched einsums: A^(m+1..m+k) = A^(1..k) @ A^m.
+    """
+    S = A.shape[0]
+    Apow = np.empty((L + 1, S, S), dtype=np.float64)
+    Apow[0] = np.eye(S)
+    if L >= 1:
+        Apow[1] = A
+    m = 1
+    while m < L:
+        k = min(m, L - m)
+        np.einsum("tsu,uv->tsv", Apow[1 : k + 1], Apow[m],
+                  out=Apow[m + 1 : m + k + 1], optimize=True)
+        m += k
+    return Apow
+
+
 def make_blocked_iir(ss: StateSpace, block: int, dtype=jnp.float32) -> BlockedIIR:
     """Host-side (float64) construction of the block operators."""
     S = ss.dim
     L = int(block)
-    Apow = np.empty((L + 1, S, S), dtype=np.float64)
-    Apow[0] = np.eye(S)
-    for t in range(1, L + 1):
-        Apow[t] = Apow[t - 1] @ ss.A
-    Cpow = np.stack([ss.C @ Apow[t] for t in range(L)])  # (L, S)
+    Apow = _prefix_powers(ss.A, L)
+    Cpow = np.einsum("s,tsu->tu", ss.C, Apow[:L], optimize=True)  # (L, S)
     h = np.empty(L, dtype=np.float64)
     h[0] = ss.D
     if L > 1:
-        h[1:] = np.stack([ss.C @ Apow[t - 1] @ ss.B for t in range(1, L)])
-    # Lower-triangular Toeplitz: Tmat[t, j] = h[t - j] for j <= t.
-    idx = np.arange(L)
-    Tmat = np.where(idx[:, None] >= idx[None, :], h[np.abs(idx[:, None] - idx[None, :])], 0.0)
-    Pmat = np.stack([Apow[L - 1 - j] @ ss.B for j in range(L)], axis=1)  # (S, L)
+        h[1:] = Cpow[: L - 1] @ ss.B  # C A^(t-1) B for t = 1..L-1
+    # Lower-triangular Toeplitz: Tmat[t, j] = h[t - j] for j <= t.  Built by
+    # striding a (2L-1) padded vector — a masked fancy-index materializes
+    # ~5 L^2 temporaries (~600 MB at L=4096), which thrashes small hosts.
+    hp = np.concatenate([np.zeros(L - 1), h])
+    st = hp.strides[0]
+    Tmat = np.ascontiguousarray(np.lib.stride_tricks.as_strided(
+        hp[L - 1 :], shape=(L, L), strides=(st, -st)))
+    Pmat = np.ascontiguousarray(  # (S, L): column j holds A^(L-1-j) B
+        np.einsum("tsu,u->ts", Apow[L - 1 :: -1], ss.B, optimize=True).T)
     to = lambda a: jnp.asarray(a, dtype=dtype)
     return BlockedIIR(
         Cpow=to(Cpow), Tmat=to(Tmat), Pmat=to(Pmat), A_L=to(Apow[L]), Apow=to(Apow),
@@ -331,12 +356,9 @@ def make_warmstart_chain(chain_sos, prefill: int) -> tuple[StateSpace, WarmStart
     last, zi_last = systems[-1], zis[-1]
     # advance the last filter's unscaled zi over `prefill` zero samples and
     # record the emitted zero-input response (float64, once)
-    s = zi_last.copy()
-    zf = np.empty(prefill)
-    for t in range(prefill):
-        zf[t] = float(last.C @ s)
-        s = last.A @ s
-    s_const[off : off + last.dim] = s
+    Apow = _prefix_powers(last.A, prefill)
+    zf = np.einsum("s,tsu,u->t", last.C, Apow[:prefill], zi_last, optimize=True)
+    s_const[off : off + last.dim] = Apow[prefill] @ zi_last
 
     return combined, WarmStartChain(zi_scale=zi_scale, s_const=s_const,
                                     zf_prefix=zf, dim=combined.dim, prefill=prefill)
