@@ -11,6 +11,7 @@ p99-under-10ms closed-loop budget (BASELINE.md).
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 
@@ -370,7 +371,10 @@ class PersistentOnlineDecoder(OnlineDecoder):
         def cond(state):
             return state[1] == self._DATA
 
-        @jax.jit
+        # donate the carry: the loop rewrites every carry buffer in place
+        # instead of allocating a second copy per dispatch (same policy as
+        # the per-packet step's donate_argnums)
+        @functools.partial(jax.jit, donate_argnums=0)
         def run(carry):
             carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(self._DATA)))
             return carry
@@ -412,7 +416,10 @@ class PersistentOnlineDecoder(OnlineDecoder):
                               np.float32), self._STOP))
             self._queue = tmp
             try:
-                jax.block_until_ready(self._run(self.carry))
+                # _run donates its argument; warm up on a copy so the live
+                # carry's buffers stay valid for the real session
+                scratch = jax.tree_util.tree_map(jnp.copy, self.carry)
+                jax.block_until_ready(self._run(scratch))
             finally:
                 self._queue = real
         self._warm = True
