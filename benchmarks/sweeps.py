@@ -108,7 +108,7 @@ def sweep_fused_periods():
                               "vs_baseline": round(xrt / 1000, 3)}))
 
 
-def sweep_matrix(reps=5, duration_s=1800.0):
+def sweep_matrix(reps=5, duration_s=1800.0, only_ch=None):
     """The full config matrix as ONE interleaved dataset (VERDICT r2 #3).
 
     Round-robins every config of a channel group through the same
@@ -128,6 +128,8 @@ def sweep_matrix(reps=5, duration_s=1800.0):
     from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
 
     for ch in (64, 128, 256):
+        if only_ch is not None and ch != only_ch:
+            continue
         points = [("split", {"use_pallas_epilogue": False})]
         points += [(f"fusedG{G}", {"use_pallas_epilogue": True, "epilogue_periods": G})
                    for G in (1, 2, 4, 8)]
@@ -356,8 +358,11 @@ def main():
         sweep_channels()
     if which in ("fused_periods", "all"):
         sweep_fused_periods()
-    if which in ("matrix",):
-        sweep_matrix()
+    if which.startswith("matrix"):
+        # "matrix" = all channel groups; "matrix:128" = one group (relay
+        # drops mid-run cost a whole group, not the whole matrix)
+        only = int(which.split(":")[1]) if ":" in which else None
+        sweep_matrix(only_ch=only)
     if which in ("latency", "all"):
         sweep_latency()
     if which in ("chunked", "all"):
