@@ -173,6 +173,10 @@ def main(argv=None):
                         help="Decode K buffered packets per device dispatch "
                              "(per-packet mode): ~K x less dispatch overhead, "
                              "(K-1) packet periods more playout latency.")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="Capture a jax.profiler trace of the decode into "
+                             "DIR (XLA op timeline, viewable with "
+                             "tensorboard/xprof or perfetto).")
     args = parser.parse_args(argv)
 
     config = config_mod.load_config(args.config)
@@ -198,16 +202,27 @@ def main(argv=None):
     logger.info("Ignoring channel indices: [%s]", " ".join(map(str, loaded["bad_channels"])))
     gl_norm = config.getint("Decoding", "griffin_lim_norm")
 
-    if in_offline_mode(config):
-        with h5py.File(config["Development"]["seeg_file"], "r") as hf:
-            eeg = hf["sEEG"][:]
-            sfreq = int(np.asarray(hf["sEEG_sr"]).reshape(-1)[0])
-        spectrogram, audio, received, sfreq = perform_offline_decoding(loaded, eeg, sfreq, gl_norm)
-    else:
-        spectrogram, audio, received, sfreq = perform_online_decoding(
-            config, loaded, gl_norm, run_dir, backend=args.backend,
-            max_packets=args.max_packets, persistent=args.persistent,
-            chunk_steps=args.dispatch_chunk)
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile)
+        logger.info("Profiling decode into %s", args.profile)
+
+    with profile_ctx:
+        if in_offline_mode(config):
+            with h5py.File(config["Development"]["seeg_file"], "r") as hf:
+                eeg = hf["sEEG"][:]
+                sfreq = int(np.asarray(hf["sEEG_sr"]).reshape(-1)[0])
+            spectrogram, audio, received, sfreq = perform_offline_decoding(loaded, eeg, sfreq, gl_norm)
+        else:
+            spectrogram, audio, received, sfreq = perform_online_decoding(
+                config, loaded, gl_norm, run_dir, backend=args.backend,
+                max_packets=args.max_packets, persistent=args.persistent,
+                chunk_steps=args.dispatch_chunk)
 
     store_decoding_to_file(run_dir, config, spectrogram, audio, received, sfreq)
     return run_dir

@@ -66,3 +66,24 @@ def test_decode_cli_offline(workspace):
         assert os.path.exists(os.path.join(run_dir, f)), f
     spec = np.load(os.path.join(run_dir, "spectrogram.npy"))
     assert spec.shape[1] == 40 and len(spec) > 500
+
+
+def test_decode_cli_profile(workspace):
+    """--profile wraps the decode in a jax.profiler trace capture."""
+    root, cfg_path, eeg, eeg_sr = workspace
+    import glob
+
+    import h5py
+    if not (root / "storage" / "demo" / "params.h5").exists():
+        train_cli.main([cfg_path])
+    seeg_file = root / "replay_input.hdf"
+    if not seeg_file.exists():
+        with h5py.File(seeg_file, "w") as hf:
+            hf.create_dataset("sEEG", data=eeg)
+            hf.create_dataset("sEEG_sr", data=eeg_sr, dtype=np.int32)
+    prof_dir = str(root / "prof")
+    decode_cli.main([cfg_path, "--seeg_file", str(seeg_file), "--run", "prof_replay",
+                     "--profile", prof_dir])
+    traces = glob.glob(os.path.join(prof_dir, "**", "*.trace.json.gz"), recursive=True) + \
+        glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no profiler artifacts under {prof_dir}"
