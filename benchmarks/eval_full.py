@@ -29,7 +29,6 @@ from __future__ import annotations
 import configparser
 import json
 import os
-import struct
 import sys
 import time
 

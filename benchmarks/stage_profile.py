@@ -44,9 +44,12 @@ def main(duration_s=1800.0, reps=5):
     from closed_loop_seeg_speech_synthesis_tpu.ops import griffinlim as gl
     from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
 
+    import dataclasses
+
     duration_s, reps = float(duration_s), int(reps)
     cfg, params = _make({}, 128)
-    cfg_split_tail, _ = _make({"use_pallas_gl_tail": False}, 128)
+    # use_pallas_gl_tail is a decode-time flag; share the built operators
+    cfg_split_tail = dataclasses.replace(cfg, use_pallas_gl_tail=False)
     sr = cfg.sr
     T = int(sr * duration_s)
     ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, sr,

@@ -141,8 +141,13 @@ def sweep_matrix(reps=5, duration_s=1800.0, only_ch=None):
         T = int(1024.0 * duration_s)
         eegs = [jax.random.normal(jax.random.PRNGKey(i), (T, ch), jnp.float32)
                 for i in range(2)]
+        # one param build per channel group: every swept knob is a
+        # decode-time flag, so the operators are identical across points
+        import dataclasses
+
+        base_cfg, params = _make({}, ch)
         for name, kw in points:
-            cfg, params = _make(kw, ch)
+            cfg = dataclasses.replace(base_cfg, **kw)
             ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms,
                                                 cfg.sr, T + cfg.prefill)
             nf = len(ends)

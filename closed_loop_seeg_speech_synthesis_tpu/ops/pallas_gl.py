@@ -292,40 +292,60 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
     grid = (Bp // tile,)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_gl_audio_kernel, iterations=iterations, phase_bug=phase_bug,
-                norm=float(norm), tile=tile, n_pow=n_pow),
-        out_shape=jax.ShapeDtypeStruct((Bp, HOP), jnp.int16),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            full((n_mel, K)),
-            full((FFT_SIZE, K)),
-            full((FFT_SIZE, K)),
-            full((K, FFT_SIZE)),
-            full((K, FFT_SIZE)),
-            full((1, FFT_SIZE)),
-            pl.BlockSpec((tile, HOP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            full((HOP, HOP)),
-            full((HOP, S)),
-            full((S, HOP)),
-            full((S, S)),
-        ],
-        out_specs=pl.BlockSpec((tile, HOP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, BLOCK_SAMPLES), jnp.float32),
-            pltpu.VMEM((1, BLOCK_SAMPLES), jnp.float32),
-            pltpu.VMEM((1, S), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lm0, lm1, wav, ops.Minv.astype(jnp.float32),
-      ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
-      ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32),
-      win2d, winv,
-      jnp.asarray(lp_op.Tmat, jnp.float32).T, jnp.asarray(lp_op.Pmat, jnp.float32).T,
-      jnp.asarray(lp_op.Cpow, jnp.float32).T, jnp.asarray(lp_op.A_L, jnp.float32).T)
+
+    def call_kernel(*arrays):
+        return pl.pallas_call(
+            partial(_gl_audio_kernel, iterations=iterations, phase_bug=phase_bug,
+                    norm=float(norm), tile=tile, n_pow=n_pow),
+            out_shape=jax.ShapeDtypeStruct((Bp, HOP), jnp.int16),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                full((n_mel, K)),
+                full((FFT_SIZE, K)),
+                full((FFT_SIZE, K)),
+                full((K, FFT_SIZE)),
+                full((K, FFT_SIZE)),
+                full((1, FFT_SIZE)),
+                pl.BlockSpec((tile, HOP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                full((HOP, HOP)),
+                full((HOP, S)),
+                full((S, HOP)),
+                full((S, S)),
+            ],
+            out_specs=pl.BlockSpec((tile, HOP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, BLOCK_SAMPLES), jnp.float32),
+                pltpu.VMEM((1, BLOCK_SAMPLES), jnp.float32),
+                pltpu.VMEM((1, S), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*arrays)
+
+    # The kernel keys its scratch reset and cross-tile OLA/low-pass carries
+    # on program_id(0); vmap's default pallas batching rule prepends a batch
+    # grid dimension, which would silently leak OLA tails and filter state
+    # between batch elements.  custom_vmap makes batching correct by
+    # construction: one sequential kernel launch per element (matching the
+    # lax.map policy the exp1 runners use for whole-graph batching).
+    call_batched = jax.custom_batching.custom_vmap(call_kernel)
+
+    @call_batched.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def one(i):
+            return call_kernel(*[a[i] if b else a
+                                 for a, b in zip(args, in_batched)])
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    out = call_batched(
+        lm0, lm1, wav, ops.Minv.astype(jnp.float32),
+        ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
+        ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32),
+        win2d, winv,
+        jnp.asarray(lp_op.Tmat, jnp.float32).T, jnp.asarray(lp_op.Pmat, jnp.float32).T,
+        jnp.asarray(lp_op.Cpow, jnp.float32).T, jnp.asarray(lp_op.A_L, jnp.float32).T)
     return out.reshape(-1)[: B * HOP]
 
 

@@ -157,7 +157,8 @@ class OnlineDecoder:
         if self.chunk_steps < 1:
             raise ValueError("chunk_steps must be >= 1")
         self.multi_step = (pipeline.make_online_multi_step(dec_params, cfg, self.key,
-                                                           self.chunk_steps)
+                                                           self.chunk_steps,
+                                                           step=self.step)
                            if self.chunk_steps > 1 else None)
         self._chunk_buf = []   # packets awaiting a full K-chunk dispatch
         self._pending = None   # un-materialized device outputs of the last step
@@ -385,13 +386,18 @@ class PersistentOnlineDecoder(OnlineDecoder):
     def feed_packet(self, packet: np.ndarray):
         """Enqueue one fixed-size raw packet (packet_size, all_channels)."""
         self.received.append(packet)
+        # hold the lock only to read the live queue reference (warmup swaps
+        # it); put() OUTSIDE the lock — a bounded queue's blocking put while
+        # holding the lock would deadlock warmup/feed_stop against a feeder
         with self._queue_lock:
-            self._queue.put((self._select(packet), self._DATA))
+            q = self._queue
+        q.put((self._select(packet), self._DATA))
 
     def feed_stop(self):
         with self._queue_lock:
-            self._queue.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
-                                      np.float32), self._STOP))
+            q = self._queue
+        q.put((np.zeros((self.cfg.packet_size, self.cfg.n_channels),
+                        np.float32), self._STOP))
 
     def process_packet(self, packet: np.ndarray):
         raise NotImplementedError(

@@ -540,7 +540,7 @@ def make_online_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array):
 
 
 def make_online_multi_step(params: DecoderParams, cfg: DecoderConfig, key: jax.Array,
-                           k_steps: int):
+                           k_steps: int, step=None):
     """K chained online steps as ONE jitted dispatch.
 
     ``multi(carry, packets (K, packet_size, n_channels)) -> (carry, outputs)``
@@ -554,7 +554,11 @@ def make_online_multi_step(params: DecoderParams, cfg: DecoderConfig, key: jax.A
     reference's own audio queue already tolerates ~4 packets / 128 ms,
     JackAudioSink.py:111-118).
     """
-    step = make_online_step(params, cfg, key)
+    # reuse the caller's single-step program when given: the K=1 and K>1
+    # paths then share the exact same step body by construction, not by
+    # convention (OnlineDecoder passes self.step)
+    if step is None:
+        step = make_online_step(params, cfg, key)
     raw = step.__wrapped__
 
     def multi(carry: OnlineCarry, packets: jnp.ndarray):

@@ -194,3 +194,30 @@ def test_pallas_fused_epilogue_multi_period(rng, G):
     mg = np.asarray(frontend_decode_mels(params.frontend_ops, x, s0, *args, nf,
                                          periods_per_step=G, interpret=True))
     np.testing.assert_allclose(mg, m1, rtol=1e-6, atol=1e-6)
+
+
+def test_gl_audio_pallas_vmap_isolated(rng):
+    """vmap over gl_audio_pallas must keep batch elements independent.
+
+    The kernel carries OLA tails + low-pass state across grid steps keyed on
+    program_id(0); the default pallas batching rule would prepend a batch
+    grid dim and leak state between elements.  The custom_vmap rule launches
+    one kernel per element — outputs must equal the per-element calls
+    exactly."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops import filter_design as fd
+    from closed_loop_seeg_speech_synthesis_tpu.ops import iir
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_gl import gl_audio_pallas
+
+    ops = gl.make_streaming_gl_ops(dtype=jnp.float32)
+    V, B = 3, 11
+    logmels = jnp.asarray(rng.randn(V, B + 1, 40) * 0.5 - 1.0, jnp.float32)
+    rand = jnp.asarray(rng.rand(V, B, 480), jnp.float32)
+    lp_ss = iir.sos_to_statespace(fd.gl_output_lowpass_sos())
+    lp_op = iir.make_blocked_iir(lp_ss, 160, jnp.float32)
+
+    run = lambda lm, ri: gl_audio_pallas(lm, ri, ops, lp_op, 10.0, 4, True,
+                                         tile=8, interpret=True)
+    batched = np.asarray(jax.vmap(run)(logmels, rand))
+    for v in range(V):
+        one = np.asarray(run(logmels[v], rand[v]))
+        np.testing.assert_array_equal(batched[v], one)
