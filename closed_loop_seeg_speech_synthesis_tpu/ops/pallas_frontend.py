@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import framing
 from .iir import BlockedIIR
+from .pallas_util import sequential_vmap
 
 
 @jax.tree_util.register_pytree_node_class
@@ -124,7 +125,7 @@ def frontend_logpower(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
     u = jnp.pad(eeg.astype(jnp.float32), ((0, max(0, need - T)), (0, 0)))[:need]
     S_dim = ops.A_L.shape[0]
 
-    F = pl.pallas_call(
+    call = lambda *arrays: pl.pallas_call(
         _frontend_kernel,
         out_shape=jax.ShapeDtypeStruct((K, P, C), jnp.float32),
         grid=(K,),
@@ -144,7 +145,10 @@ def frontend_logpower(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
             pltpu.VMEM((S_dim, C), jnp.float32),
         ],
         interpret=interpret,
-    )(u, s0.astype(jnp.float32), ops.prefix, ops.Tmat, ops.Cpow, ops.Pmat, ops.A_L, ops.S_win)
+    )(*arrays)
+    # program_id-keyed scratch carries: vmap must launch per element
+    F = sequential_vmap(call)(u, s0.astype(jnp.float32), ops.prefix, ops.Tmat,
+                              ops.Cpow, ops.Pmat, ops.A_L, ops.S_win)
     return F.reshape(K * P, C)[:n_frames]
 
 
@@ -284,7 +288,7 @@ def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
     u = jnp.pad(eeg.astype(jnp.float32), ((0, max(0, need - T)), (0, 0)))[:need]
     S_dim = ops.A_L.shape[0]
 
-    mel = pl.pallas_call(
+    call = lambda *arrays: pl.pallas_call(
         _make_decode_kernel(P, depth, step_size, n_taps, K_slots, B, Ls, G),
         out_shape=jax.ShapeDtypeStruct((Kp, G * P, B), jnp.float32),
         grid=(Kp,),
@@ -309,6 +313,9 @@ def frontend_decode_mels(ops: FrontendOps, eeg: jnp.ndarray, s0: jnp.ndarray,
             pltpu.VMEM((depth, C), jnp.float32),
         ],
         interpret=interpret,
-    )(u, s0.astype(jnp.float32), ops.prefix, ops.Tmat, ops.Cpow, ops.Pmat,
-      ops.A_L, ops.S_win, W5, bm, med_slot, smoothM)
+    )(*arrays)
+    # program_id-keyed scratch carries: vmap must launch per element
+    mel = sequential_vmap(call)(u, s0.astype(jnp.float32), ops.prefix, ops.Tmat,
+                                ops.Cpow, ops.Pmat, ops.A_L, ops.S_win, W5, bm,
+                                med_slot, smoothM)
     return mel.reshape(Kp * G * P, B)[:n_frames]

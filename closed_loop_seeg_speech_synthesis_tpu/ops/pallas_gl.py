@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .griffinlim import BLOCK_SAMPLES, FFT_SIZE, HOP, StreamingGLOps
+from .pallas_util import sequential_vmap
 
 _PAD_TAIL = BLOCK_SAMPLES - FFT_SIZE          # 224
 _PAD_MID = BLOCK_SAMPLES - HOP - FFT_SIZE     # 64
@@ -325,21 +326,9 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
         )(*arrays)
 
     # The kernel keys its scratch reset and cross-tile OLA/low-pass carries
-    # on program_id(0); vmap's default pallas batching rule prepends a batch
-    # grid dimension, which would silently leak OLA tails and filter state
-    # between batch elements.  custom_vmap makes batching correct by
-    # construction: one sequential kernel launch per element (matching the
-    # lax.map policy the exp1 runners use for whole-graph batching).
-    call_batched = jax.custom_batching.custom_vmap(call_kernel)
-
-    @call_batched.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        def one(i):
-            return call_kernel(*[a[i] if b else a
-                                 for a, b in zip(args, in_batched)])
-        return jax.lax.map(one, jnp.arange(axis_size)), True
-
-    out = call_batched(
+    # on program_id(0): vmap must launch one kernel per batch element
+    # (pallas_util.sequential_vmap) or state leaks between elements.
+    out = sequential_vmap(call_kernel)(
         lm0, lm1, wav, ops.Minv.astype(jnp.float32),
         ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
         ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32),

@@ -221,3 +221,45 @@ def test_gl_audio_pallas_vmap_isolated(rng):
     for v in range(V):
         one = np.asarray(run(logmels[v], rand[v]))
         np.testing.assert_array_equal(batched[v], one)
+
+
+def test_frontend_kernels_vmap_isolated(rng):
+    """vmap over the streaming frontend kernels launches per element
+    (pallas_util.sequential_vmap): the program_id-keyed filter-state carries
+    must not leak between batch elements."""
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_frontend import (
+        epilogue_constants, frontend_decode_mels, frontend_logpower)
+
+    sr, C, V = 1024.0, 8, 3
+    T = int(sr * 1)
+    eegs = rng.randn(V, T, C).astype(np.float32)
+    n_feats = 20
+    lda = lda_mod.LDAParams(
+        coef=jnp.asarray(rng.randn(40, 9, n_feats) * 0.3, jnp.float32),
+        intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
+        classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
+        valid=jnp.ones((40, 9), bool),
+    )
+    cfg = pipeline.DecoderConfig(sr=sr, n_channels=C, dtype=jnp.float32)
+    params = pipeline.build_decoder_params(
+        cfg, lda, np.sort(rng.randn(40, 9), axis=1),
+        rng.permutation(5 * C)[:n_feats])
+    nf = len(framing.streaming_frame_ends(50, 10, sr, T + cfg.prefill))
+    W5, bm, med_slot, smoothM = epilogue_constants(
+        params.lda_coef_full, params.lda.intercept, params.lda.valid,
+        params.lda.classes, params.medians, params.gauss_kernel, C)
+
+    def run_lp(e):
+        s0 = params.filt_zi_scale[:, None] * e[0][None, :] + params.filt_s_const[:, None]
+        return frontend_logpower(params.frontend_ops, e, s0, nf, interpret=True)
+
+    def run_mels(e):
+        s0 = params.filt_zi_scale[:, None] * e[0][None, :] + params.filt_s_const[:, None]
+        return frontend_decode_mels(params.frontend_ops, e, s0, W5, bm,
+                                    med_slot, smoothM, nf, interpret=True)
+
+    x = jnp.asarray(eegs)
+    for fn in (run_lp, run_mels):
+        batched = np.asarray(jax.vmap(fn)(x))
+        for v in range(V):
+            np.testing.assert_array_equal(batched[v], np.asarray(fn(x[v])))
