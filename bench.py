@@ -10,6 +10,7 @@ Prints one JSON line: metric / value / unit / vs_baseline (value / 1000).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,20 +25,22 @@ def main():
     from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
 
     sr = 1024.0
-    n_channels = 128
-    duration_s = 1800.0  # 30-minute session per decode call
+    n_channels = int(os.environ.get("CLSS_BENCH_CHANNELS", 128))
+    # 30-minute session per decode call (env knob for CPU smoke runs only)
+    duration_s = float(os.environ.get("CLSS_BENCH_DURATION_S", 1800.0))
     T = int(sr * duration_s)
 
     rng = np.random.RandomState(0)
     cfg = pipeline.DecoderConfig(sr=sr, n_channels=n_channels, packet_size=32, dtype=jnp.float32)
+    nf = min(150, 5 * n_channels)
     lda_params = lda_mod.LDAParams(
-        coef=jnp.asarray(rng.randn(40, 9, 150) * 0.1, jnp.float32),
+        coef=jnp.asarray(rng.randn(40, 9, nf) * 0.1, jnp.float32),
         intercept=jnp.asarray(rng.randn(40, 9), jnp.float32),
         classes=jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32), (40, 9)),
         valid=jnp.ones((40, 9), bool),
     )
     medians = np.sort(rng.randn(40, 9), axis=1)
-    select = rng.permutation(5 * n_channels)[:150]
+    select = rng.permutation(5 * n_channels)[:nf]
     params = pipeline.build_decoder_params(cfg, lda_params, medians, select)
 
     ends = framing.streaming_frame_ends(cfg.frame_len_ms, cfg.frame_shift_ms, sr, T + cfg.prefill)

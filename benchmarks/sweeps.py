@@ -318,9 +318,9 @@ def measure_dispatch_latency(step, carry, packets, n_meas=60, n_floor=None):
         c2, o = raw(c, pkt)
         packed = jnp.concatenate([
             o["spec"].ravel().astype(jnp.float32),
-            o["spec_valid"].astype(jnp.float32),
+            o["spec_valid"].ravel().astype(jnp.float32),
             o["audio"].ravel().astype(jnp.float32),
-            o["audio_valid"].astype(jnp.float32),
+            o["audio_valid"].ravel().astype(jnp.float32),
         ])
         return c2, packed
 
