@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
     from closed_loop_seeg_speech_synthesis_tpu.models import lda as lda_mod

@@ -76,6 +76,8 @@ def _fabricate_run(run_dir, session_rec, spec, audio, words, eeg, eeg_sr):
 
 
 def main(workdir="/tmp/eval_full", n_words=100, n_channels=64):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     import h5py
     import jax
     import jax.numpy as jnp

@@ -42,6 +42,8 @@ def _emit(**kw):
 
 
 def main(workdir="/tmp/exp1_ab", reps=3, n_words=100, n_channels=64):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     from demo import make_synthetic_session
     import jax
     import jax.numpy as jnp

@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.join(_ROOT, "examples"))
 
 
 def main(workdir="/tmp/exp1_full", n_words=100, n_channels=64, chance_runs=3):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     from demo import make_synthetic_session
     from closed_loop_seeg_speech_synthesis_tpu.eval import exp1 as exp1_mod
     from closed_loop_seeg_speech_synthesis_tpu.runtime import params as params_io

@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 
 def main(n_seconds=120.0, reps=5):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     from test_io import write_test_xdf  # the spec-conformant fixture writer
     from closed_loop_seeg_speech_synthesis_tpu.io import xdf
 

@@ -256,6 +256,8 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
 
 
 def main(duration_s=60.0, n_channels=128):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     m = run_soak(float(duration_s), n_channels=int(n_channels))
     print(json.dumps({"metric": "soak_paced_realtime", "value": m["latency_p99_ms"],
                       "unit": "ms_p99_per_packet (31.25 ms cadence)",

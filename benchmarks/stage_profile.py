@@ -37,6 +37,8 @@ sys.path.insert(0, _ROOT)
 
 
 def main(duration_s=1800.0, reps=5):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
     from benchmarks.sweeps import _make

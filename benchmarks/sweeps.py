@@ -356,6 +356,8 @@ def measure_dispatch_latency(step, carry, packets, n_meas=60, n_floor=None):
 
 
 def main():
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("gl_iters", "all"):
         sweep_gl_iters()

@@ -17,6 +17,29 @@ from ..runtime.tracing import StageTracer, activate_timing, timing_active  # noq
 logger = logging.getLogger("utils")
 
 
+def honor_platform_env() -> None:
+    """Mirror ``JAX_PLATFORMS`` into ``jax.config`` before backend init.
+
+    The hosted axon TPU plugin force-selects itself regardless of the
+    ``JAX_PLATFORMS`` env var; ``jax.config.update`` has higher priority
+    than both.  Without this, a relay outage makes even ``JAX_PLATFORMS=cpu``
+    smoke runs hang inside ``make_c_api_client``.  Call at the top of any
+    entrypoint that should respect the env var (benchmarks, tools); no-op
+    when the variable is unset or a backend is already initialized.
+    """
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # backend already initialized; env var did its job
+        pass
+
+
 def check_if_python_shell_is_x64() -> bool:
     """Warn on 32-bit interpreters (reference utils.py:78-84)."""
     mode = struct.calcsize("P") * 8

@@ -87,6 +87,8 @@ def build_case(lanes, train_s, test_s, channels, nb_feats, seed=0):
 
 
 def main(argv=None):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--lanes", type=int, default=6)
     ap.add_argument("--train-s", type=float, default=270.0)
