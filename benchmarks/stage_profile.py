@@ -77,6 +77,10 @@ def main(duration_s=1800.0, reps=5):
         params.lda.classes, params.medians, params.gauss_kernel,
         cfg.n_channels, cfg.model_order)
 
+    # NOTE: every big device array (eeg, s_cat, F, mel, re, rand) must be an
+    # EXPLICIT jit argument, not a closure: closed-over arrays become XLA
+    # constants embedded in the compile request, and the hosted relay rejects
+    # multi-hundred-MB request bodies with HTTP 413.
     @jax.jit
     def run_filter(eeg):
         s0 = params.filt_zi_scale[:, None] * eeg[0][None, :] + params.filt_s_const[:, None]
@@ -100,7 +104,7 @@ def main(duration_s=1800.0, reps=5):
                                     cfg.step_size, periods_per_step=cfg.fused_periods)
 
     @jax.jit
-    def run_gl_kernel(mel):
+    def run_gl_kernel(mel, rand):
         return gl_blocks_pallas(mel, rand, params.gl_ops, cfg.gl_iterations,
                                 cfg.phase_bug)
 
@@ -112,7 +116,7 @@ def main(duration_s=1800.0, reps=5):
         return gl.to_int16(lp[:, 0], cfg.gl_norm)
 
     @jax.jit
-    def run_gl_tail_fused(mel):
+    def run_gl_tail_fused(mel, rand):
         return gl_audio_pallas(mel, rand, params.gl_ops, params.lowpass_op,
                                float(cfg.gl_norm), cfg.gl_iterations, cfg.phase_bug)
 
@@ -125,16 +129,16 @@ def main(duration_s=1800.0, reps=5):
     s_cat = jax.block_until_ready(run_filter(eegs[0]))
     F = jax.block_until_ready(run_framing(s_cat))
     mel = jax.block_until_ready(run_frontend_fused(eegs[0]))
-    re = jax.block_until_ready(run_gl_kernel(mel))
+    re = jax.block_until_ready(run_gl_kernel(mel, rand))
 
     stages = {
         "filter_chain": lambda e: float(jnp.sum(run_filter(e)[-1])),
         "framing": lambda e: float(jnp.sum(run_framing(s_cat)[-1])),
         "epilogue": lambda e: float(jnp.sum(run_epilogue(F)[-1])),
         "frontend_fused": lambda e: float(jnp.sum(run_frontend_fused(e)[-1])),
-        "gl_kernel": lambda e: float(jnp.sum(run_gl_kernel(mel)[-1])),
+        "gl_kernel": lambda e: float(jnp.sum(run_gl_kernel(mel, rand)[-1])),
         "tail_xla": lambda e: int(run_tail_xla(re)[-1]),
-        "gl_tail_fused": lambda e: int(run_gl_tail_fused(mel)[-1]),
+        "gl_tail_fused": lambda e: int(run_gl_tail_fused(mel, rand)[-1]),
         "full_split_tail": lambda e: run_full(cfg_split_tail, e),
         "full_fused": lambda e: run_full(cfg, e),
     }
