@@ -49,6 +49,7 @@ def main(duration_s=1800.0, reps=5):
     import dataclasses
 
     duration_s, reps = float(duration_s), int(reps)
+    interp = jax.default_backend() == "cpu"  # pallas needs interpret mode on CPU smoke runs
     cfg, params = _make({}, 128)
     # use_pallas_gl_tail is a decode-time flag; share the built operators
     cfg_split_tail = dataclasses.replace(cfg, use_pallas_gl_tail=False)
@@ -101,12 +102,13 @@ def main(duration_s=1800.0, reps=5):
         s0 = params.filt_zi_scale[:, None] * eeg[0][None, :] + params.filt_s_const[:, None]
         return frontend_decode_mels(params.frontend_ops, eeg, s0, W5, bm, med_slot,
                                     smoothM, n_frames, cfg.model_order,
-                                    cfg.step_size, periods_per_step=cfg.fused_periods)
+                                    cfg.step_size, periods_per_step=cfg.fused_periods,
+                                    interpret=interp)
 
     @jax.jit
     def run_gl_kernel(mel, rand):
         return gl_blocks_pallas(mel, rand, params.gl_ops, cfg.gl_iterations,
-                                cfg.phase_bug)
+                                cfg.phase_bug, interpret=interp)
 
     @jax.jit
     def run_tail_xla(re):
@@ -118,7 +120,8 @@ def main(duration_s=1800.0, reps=5):
     @jax.jit
     def run_gl_tail_fused(mel, rand):
         return gl_audio_pallas(mel, rand, params.gl_ops, params.lowpass_op,
-                               float(cfg.gl_norm), cfg.gl_iterations, cfg.phase_bug)
+                               float(cfg.gl_norm), cfg.gl_iterations, cfg.phase_bug,
+                               interpret=interp)
 
     def run_full(c, eeg):
         spec, audio = pipeline._offline_decode_jit(params, c, eeg, ends_d, rand,
