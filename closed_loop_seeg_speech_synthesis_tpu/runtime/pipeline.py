@@ -104,10 +104,11 @@ class DecoderConfig:
     # Periods per fused-kernel grid step (G): the filter recurrence stays
     # sequential (unrolled over G sub-periods) but the epilogue then runs on
     # G*P frame rows at once — fewer, larger matmuls amortize the sequential
-    # grid.  "auto" picks from the measured G-sweep: G=4 at low channel
-    # counts (small per-period matmuls underfill the MXU), G=2 from 128ch up
-    # (VMEM pressure and tail padding start to cost more than the
-    # amortization saves).
+    # grid.  "auto" picks from the round-3 interleaved matrix sweep
+    # (benchmarks/sweeps.py sweep_matrix, quiet host, min-of-5): G=8 is the
+    # best measured point at every swept channel count (64ch 21,913x /
+    # 128ch 21,950x / 256ch 21,736x vs split 20,744x / 20,105x / 18,186x);
+    # the round-2 G=4/G=2 policy came from a contention-noised dataset.
     epilogue_periods: Any = "auto"
 
     @property
@@ -125,7 +126,7 @@ class DecoderConfig:
     @property
     def fused_periods(self) -> int:
         if self.epilogue_periods == "auto":
-            return 4 if self.n_channels <= 96 else 2
+            return 8
         return int(self.epilogue_periods)
 
     @property
