@@ -38,6 +38,7 @@ phase matrix64     3600 matrix_policy_64ch          python -m benchmarks.sweeps 
 phase matrix128    4800 matrix_policy_128ch         python -m benchmarks.sweeps matrix:128
 phase matrix256    4800 matrix_policy_256ch         python -m benchmarks.sweeps matrix:256
 phase soak         900  soak_paced_realtime         python benchmarks/soak.py 60 128
+phase soak_k4      900  '"criteria_ok": true'       python benchmarks/soak.py 60 128 4
 phase exp1_ab      10800 exp1_ab_speedup            python benchmarks/exp1_ab.py /tmp/exp1_ab 3
 phase eval_full    7200 eval_full_figures_s         python benchmarks/eval_full.py /tmp/eval_full
 phase vmap_repro   3600 verdict                     python tools/vmap_miscompile_repro.py --mode vmap --lanes 6 --train-s 270 --channels 64

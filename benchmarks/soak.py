@@ -255,23 +255,44 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
     return metrics
 
 
-def main(duration_s=60.0, n_channels=128):
+def main(duration_s=60.0, n_channels=128, chunk_steps=1):
     from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
     honor_platform_env()
-    m = run_soak(float(duration_s), n_channels=int(n_channels))
+    m = run_soak(float(duration_s), n_channels=int(n_channels),
+                 chunk_steps=int(chunk_steps))
+    # criteria evaluated BEFORE the JSON line so the verdict is part of the
+    # recorded artifact (a bare assert after print let a failing run look
+    # complete to marker-grepping drivers):
+    # - no packet loss, ever;
+    # - audio-queue attribution: every drop/xrun covered by independently
+    #   measured host scheduler stalls (each 16 ms of stall can cost one due
+    #   block twice: popped unfed, then arriving late into the bounded
+    #   queue); zero drops required when no stall exceeded the playout
+    #   grace.  Per-packet dispatch must also fit the cadence: through the
+    #   hosted relay that needs chunk_steps >= 4 (one ~29 ms RTT per K
+    #   packets); a K=1 relay run is dispatch-bound by the tunnel and
+    #   reports criteria_ok=false without refuting the decoder.
+    no_loss = m["samples_received"] == m["samples_sent"]
+    stall_blocks = int(np.ceil(m["sched_stall_total_s"] / 0.016))
+    dispatch_fits_cadence = m["latency_p50_ms"] < 31.25 * max(1, int(chunk_steps))
+    queue_ok = m["dropped_blocks"] + m["xruns"] <= 2 * stall_blocks + 2
+    # zero drops demanded only when the ACCUMULATED stall time stayed under
+    # the playout grace: distinct sub-grace stalls in one playout window
+    # combine to push a due block past its deadline (observed on the 1-core
+    # CI host at chunk_steps=4, where the grace is 5 packet periods)
+    if m["sched_stall_total_s"] * 1e3 < m["playout_grace_ms"]:
+        queue_ok = queue_ok and m["dropped_blocks"] == 0 and m["xruns"] == 0
+    criteria_ok = bool(no_loss and (queue_ok if dispatch_fits_cadence else False))
     print(json.dumps({"metric": "soak_paced_realtime", "value": m["latency_p99_ms"],
                       "unit": "ms_p99_per_packet (31.25 ms cadence)",
                       "vs_baseline": round(10.0 / max(m["latency_p99_ms"], 1e-9), 2),
+                      "criteria_ok": criteria_ok, "no_loss": no_loss,
+                      "dispatch_fits_cadence": dispatch_fits_cadence,
+                      "queue_ok": queue_ok,
                       **m}))
-    assert m["samples_received"] == m["samples_sent"], "packet loss in paced soak"
-    # attribution bound: every drop/xrun must be covered by independently
-    # measured host scheduler stalls (each 16 ms of stall can cost one due
-    # block twice: popped unfed, then arriving late into the bounded queue)
-    stall_blocks = int(np.ceil(m["sched_stall_total_s"] / 0.016))
-    assert m["dropped_blocks"] + m["xruns"] <= 2 * stall_blocks + 2, m
-    if m["sched_stall_max_s"] * 1e3 < m["playout_grace_ms"]:
-        assert m["dropped_blocks"] == 0 and m["xruns"] == 0, m
+    assert no_loss, "packet loss in paced soak"
+    assert criteria_ok, m
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:3])
+    main(*sys.argv[1:4])

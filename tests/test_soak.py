@@ -45,7 +45,7 @@ def test_paced_soak_60s():
     # with a concurrent 100+ ms heartbeat gap), so it is bounded only when
     # the stall meter stayed quiet
     assert m["latency_p50_ms"] < 31.25 / 2, m
-    if m["sched_stall_max_s"] * 1e3 < m["playout_grace_ms"]:
+    if m["sched_stall_total_s"] * 1e3 < m["playout_grace_ms"]:
         assert m["latency_p99_ms"] < 31.25, m
     # no sustained fall-behind: backlog beyond what measured stalls explain
     # means the decoder itself is slower than real time
@@ -55,5 +55,8 @@ def test_paced_soak_60s():
     stall_blocks = int(np.ceil(m["sched_stall_total_s"] / 0.016))
     allowed = 2 * stall_blocks + 2
     assert m["dropped_blocks"] + m["xruns"] <= allowed, (m, allowed)
-    if m["sched_stall_max_s"] * 1e3 < m["playout_grace_ms"]:
+    # zero drops demanded only when the ACCUMULATED stall time stayed under
+    # the playout grace: distinct sub-grace stalls within one playout window
+    # combine to push a due block past its deadline
+    if m["sched_stall_total_s"] * 1e3 < m["playout_grace_ms"]:
         assert m["dropped_blocks"] == 0 and m["xruns"] == 0, m
