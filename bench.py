@@ -63,11 +63,20 @@ def main():
         window_S = jax.device_put(jnp.asarray(S, jnp.float32))
         frame_plan = (Ls, P, origin, n_frames)
 
+    # Gate on ONE fetched 2-element array: the hosted TPU relay acks
+    # block_until_ready early in some paths, so timing must gate on fetched
+    # values — but each fetch is a serialized ~25 ms RPC, so fetching the
+    # spec-sum and the audio tail separately charged a second relay round
+    # trip to every run (the round-2 methodology did exactly that).
+    @jax.jit
+    def _decode_gated(e, r):
+        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, r,
+                                                   window_S, frame_plan)
+        return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+
     def run(e):
-        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand, window_S, frame_plan)
-        # Force a device round-trip: the hosted TPU relay acks block_until_ready
-        # early in some paths, so timing must gate on fetched values.
-        return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
+        g = np.asarray(_decode_gated(e, rand))
+        return float(g[0]), float(g[1])
 
     # compile + warmup; the hosted relay occasionally drops a remote-compile
     # connection, so retry before giving up
@@ -86,6 +95,23 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = sorted(times)[1]  # median of 3
     xrt = duration_s / wall
+
+    # Steady-state pipelined throughput: M independent sessions dispatched
+    # back-to-back, every session's outputs still forced through the gate,
+    # but the M 2-element gates are concatenated by a final program and
+    # fetched ONCE — amortizing the irreducible ~25 ms relay RTT across M
+    # sessions the way a locally attached chip's back-to-back replay pays
+    # no RTT at all.  This is the closest the relay harness can get to the
+    # local-hardware throughput number.
+    M = int(os.environ.get("CLSS_BENCH_PIPELINE_SESSIONS", 6))
+    pack = jax.jit(lambda *gs: jnp.concatenate(gs))
+    np.asarray(pack(*[_decode_gated(eegs[i % len(eegs)], rand) for i in range(M)]))  # compile
+    t0 = time.perf_counter()
+    gs = [_decode_gated(eegs[i % len(eegs)], rand) for i in range(M)]
+    packed = np.asarray(pack(*gs))
+    pipelined_wall = (time.perf_counter() - t0) / M
+    assert packed.shape == (2 * M,) and np.all(np.isfinite(packed))
+    xrt_pipelined = duration_s / pipelined_wall
 
     # closed-loop per-dispatch latency (BASELINE.md p99 < 10 ms budget):
     # device-side estimate = step dispatch wall minus the relay's echo floor
@@ -142,6 +168,8 @@ def main():
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 1000.0, 3),
+        "pipelined_xrt": round(xrt_pipelined, 1),
+        "pipelined_sessions": M,
         **latency,
     }))
 
