@@ -118,6 +118,24 @@ def main(out_dir="/tmp/bench_battery"):
                   f"{fmt(wpp / K) if wpp else '—'} | {fmt(r.get('added_playout_latency_ms'))} |")
         print()
 
+    if "train_wall_s" in m:
+        r = m["train_wall_s"]
+        print("## Training path (train_bench.py)\n")
+        print("| arm | wall s |")
+        print("|---|---|")
+        dur = r.get("duration_s", 0) or 0
+        print(f"| TPU trainer, steady state ({fmt(dur)} s session, "
+              f"{r.get('channels')} ch) | **{fmt(r['value'])}** |")
+        if "first_call_s" in r:
+            print(f"| TPU trainer, first call (compile included) | {fmt(r['first_call_s'])} |")
+        if "cpu_reference_s" in r:
+            print(f"| reference-architecture CPU twin (scipy/sklearn) | {fmt(r['cpu_reference_s'])} |")
+            print(f"\nSpeedup vs the CPU reference twin: "
+                  f"**{fmt(r.get('speedup_vs_cpu_reference'))}x**; CPU phase split: "
+                  f"{json.dumps(r.get('cpu_phases', {}))}\n")
+        else:
+            print()
+
     for k in ("soak_paced_realtime", "exp1_ab_speedup", "eval_full_figures_s",
               "xdf_native_scan_speedup"):
         if k in m:
@@ -125,7 +143,7 @@ def main(out_dir="/tmp/bench_battery"):
 
     rest = {k for k in m} - set(stages) - {x for x in m if x.startswith(("matrix_", "online_", "stage_"))} \
         - {"offline_replay_xrt_128ch", "soak_paced_realtime", "exp1_ab_speedup",
-           "eval_full_figures_s", "xdf_native_scan_speedup"}
+           "eval_full_figures_s", "xdf_native_scan_speedup", "train_wall_s"}
     if rest:
         print("## Other metrics\n")
         for k in sorted(rest):

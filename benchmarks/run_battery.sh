@@ -43,4 +43,5 @@ phase exp1_ab      10800 exp1_ab_speedup            python benchmarks/exp1_ab.py
 phase eval_full    7200 eval_full_figures_s         python benchmarks/eval_full.py /tmp/eval_full
 phase vmap_repro   3600 verdict                     python tools/vmap_miscompile_repro.py --mode vmap --lanes 6 --train-s 270 --channels 64
 phase native_scan  1200 xdf_native_scan_speedup                 python benchmarks/native_scan.py
+phase train_bench  3600 train_wall_s                python benchmarks/train_bench.py
 echo "battery complete; logs in $OUT"

@@ -168,12 +168,15 @@ class Experiment1:
                     wavs[i] = audio_b[j]
         return np.vstack(recos), np.vstack(origs), np.hstack(wavs)
 
-    def proposed_method(self, nb_folds=10, batched=True):
+    def proposed_method(self, nb_folds=10, batched=True, args=None):
         # No silent sequential fallback: a swallowed device-path failure
         # masks regressions (and wouldn't catch silent corruption anyway —
         # a TPU vmap miscompile zeroed 4 of 10 folds without raising; the
         # lax.map runners fixed it).  _run_folds stays as the parity twin.
-        args = self._construct_datasets_for_run(nb_folds)
+        # ``args`` lets callers reuse pre-staged fold datasets (the host
+        # staging dominates the wall; see benchmarks/eval_full.py).
+        if args is None:
+            args = self._construct_datasets_for_run(nb_folds)
         if batched:
             reco, orig, decoded_audio = self._run_folds_batched(args)
         else:
@@ -199,7 +202,8 @@ class Experiment1:
         return np.mean(corrs, axis=0), np.std(corrs, axis=0)
 
     def chance_level_batched(self, nb_runs=100, nb_folds=10, batch_size=10,
-                             dtype=jnp.float32, key=None, save=True, nb_feats=150):
+                             dtype=jnp.float32, key=None, save=True, nb_feats=150,
+                             base_args=None):
         """TPU fan-out of the chance estimation (SURVEY §7: the reference's
         most expensive loop, run serially there).
 
@@ -212,7 +216,8 @@ class Experiment1:
         """
         from .exp1_batched import fold_targets, make_chance_runner
 
-        base_args = self._construct_datasets_for_run(nb_folds, randomize=False)
+        if base_args is None:
+            base_args = self._construct_datasets_for_run(nb_folds, randomize=False)
         key = key if key is not None else jax.random.PRNGKey(0)
 
         # per (run, fold) shift indices, host RNG like the reference
