@@ -83,7 +83,9 @@ class Experiment1:
             ae = self.sess.word_starts_indices_audio[test_idx[-1]] + 3 * self.sess.audio_sr
             audio_mask[as_:ae] = False
 
-            x_train = self.sess.eeg[eeg_mask].astype(np.float64)
+            # asarray, not astype: the boolean index already copied, so skip
+            # the second full-session copy when the stored dtype is f64
+            x_train = np.asarray(self.sess.eeg[eeg_mask], dtype=np.float64)
             y_train = self.sess.audio[audio_mask]
             x_test = self.sess.eeg[~eeg_mask]
             y_test = np.asarray(compute_spectrogram(

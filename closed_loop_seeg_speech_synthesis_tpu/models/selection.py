@@ -18,38 +18,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _rank_average(v: jnp.ndarray) -> jnp.ndarray:
-    """scipy.stats.rankdata(v, method='average') for a 1-D array."""
-    order = jnp.argsort(v)
-    sv = v[order]
-    n = v.shape[0]
-    first = jnp.searchsorted(sv, sv, side="left")
-    last = jnp.searchsorted(sv, sv, side="right") - 1
-    avg_sorted = (first + last).astype(v.dtype) / 2.0 + 1.0
-    ranks = jnp.zeros(n, v.dtype).at[order].set(avg_sorted)
-    return ranks
+def _rank_average_cols(X: jnp.ndarray) -> jnp.ndarray:
+    """scipy.stats.rankdata(col, method='average') for every column of X.
 
+    Scatter-free: with ``lo = #{elements < x}`` and ``hi = #{elements <= x}``
+    the average rank of x over its tie group (1-based positions lo+1..hi) is
+    ``(lo + hi + 1) / 2`` — evaluated directly at the original positions via
+    two searchsorteds into the sorted column, no argsort+scatter round trip.
+    (The earlier per-column vmap of argsort + ``.at[order].set`` took 80 s at
+    (184k, 320) and crashed the TPU worker outright at F >= 512.)
+    """
+    sv = jnp.sort(X, axis=0)
 
-def _pearson(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    ac = a - jnp.mean(a)
-    bc = b - jnp.mean(b)
-    denom = jnp.sqrt(jnp.sum(ac * ac) * jnp.sum(bc * bc))
-    # zero variance -> NaN, matching scipy.stats.spearmanr: the reference's
-    # np.argsort(|cs|) then sorts NaNs LAST, i.e. a constant-but-nonzero
-    # (railed) channel lands INSIDE the selected features (train.py:96-109).
-    return jnp.where(denom > 0, jnp.sum(ac * bc) / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+    def per_col(col_sorted, col):
+        lo = jnp.searchsorted(col_sorted, col, side="left")
+        hi = jnp.searchsorted(col_sorted, col, side="right")
+        return (lo + hi + 1).astype(X.dtype) / 2.0
+
+    return jax.vmap(per_col, in_axes=1, out_axes=1)(sv, X)
 
 
 @jax.jit
 def spearman_vs_target(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Spearman rho of every feature column of X (n, F) against y (n,)."""
-    ry = _rank_average(y)
+    ry = _rank_average_cols(y[:, None])[:, 0]
     zero_col = jnp.isclose(jnp.sum(X, axis=0), 0.0)
 
-    def per_feature(col):
-        return _pearson(_rank_average(col), ry)
-
-    rhos = jax.vmap(per_feature, in_axes=1)(X)
+    rx = _rank_average_cols(X)
+    rxc = rx - jnp.mean(rx, axis=0)
+    ryc = ry - jnp.mean(ry)
+    num = rxc.T @ ryc
+    # zero variance -> NaN, matching scipy.stats.spearmanr: the reference's
+    # np.argsort(|cs|) then sorts NaNs LAST, i.e. a constant-but-nonzero
+    # (railed) channel lands INSIDE the selected features (train.py:96-109).
+    denom = jnp.sqrt(jnp.sum(rxc * rxc, axis=0) * jnp.sum(ryc * ryc))
+    rhos = jnp.where(denom > 0, num / jnp.where(denom > 0, denom, 1.0), jnp.nan)
     return jnp.where(zero_col, 0.0, rhos)  # exact-zero columns forced to 0 (train.py:103-105)
 
 
