@@ -61,40 +61,46 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
-def _gl_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, fcos_ref, fsin_ref, icos_ref,
-               isin_ref, win_ref, out_ref, *, iterations: int, phase_bug: bool,
-               bf16: bool = False):
-    mm_t = jnp.bfloat16 if bf16 else jnp.float32
+def _gl_loop(lm0, lm1, wav, minv, minvn, fcos, fsin, fnyq, icos, isin, inyq,
+             win, *, iterations: int, phase_bug: bool, mm_t):
+    """The shared Griffin-Lim iteration body (values, not refs).
+
+    The 256-point real DFT has K = 129 bins; a 129-wide matmul operand pads
+    to 256 MXU lanes, wasting ~half the systolic-array work in the three hot
+    matmuls.  The Nyquist bin (exactly real: F_sin[:,128] == 0, and its
+    inverse row I_sin[128,:] == 0) is split out: the matmuls run on the
+    clean first 128 bins, the Nyquist spectrum is a VPU lane-reduction
+    against the alternating-sign row, and its inverse contribution is a
+    rank-1 (TB,1)x(1,256) broadcast-add.  Bit-compatible with the unsplit
+    form within f32 rounding.
+    """
     f32 = jnp.float32
-    fcos = fcos_ref[:].astype(mm_t)  # (N, K)
-    fsin = fsin_ref[:].astype(mm_t)  # (N, K)
-    icos = icos_ref[:].astype(mm_t)  # (K, N)
-    isin = isin_ref[:].astype(mm_t)  # (K, N)
-    win = win_ref[:]            # (1, N)
+    pi = f32(np.pi)
 
     def from_log_mels(lm):
         # exp(logmels) @ Minv with NaN/Inf scrub (MelFilterBank.py:82-83)
-        out = jnp.dot(jnp.exp(lm), minv_ref[:], preferred_element_type=f32)
-        return jnp.where(jnp.isfinite(out), out, 0.0)
+        e = jnp.exp(lm)
+        main = jnp.dot(e, minv, preferred_element_type=f32)       # (TB, 128)
+        nyq = jnp.sum(e * minvn, axis=1, keepdims=True)           # (TB, 1)
+        return (jnp.where(jnp.isfinite(main), main, 0.0),
+                jnp.where(jnp.isfinite(nyq), nyq, 0.0))
 
-    spec0 = from_log_mels(lm0_ref[:])  # (TB, K)
-    spec1 = from_log_mels(lm1_ref[:])
-    wav = wav_ref[:]            # (TB, 480)
-    pi = f32(np.pi)
+    spec0, spec0n = from_log_mels(lm0)
+    spec1, spec1n = from_log_mels(lm1)
 
-    def one_frame(fr, spec):
-        fr = fr.astype(mm_t)
-        xr = jnp.dot(fr, fcos, preferred_element_type=f32)
-        xi = -jnp.dot(fr, fsin, preferred_element_type=f32)
+    def one_frame(fr, spec, specn):
+        frm = fr.astype(mm_t)
+        xr = jnp.dot(frm, fcos, preferred_element_type=f32)       # (TB, 128)
+        xi = -jnp.dot(frm, fsin, preferred_element_type=f32)
+        xrn = jnp.sum(fr * fnyq, axis=1, keepdims=True)           # (TB, 1)
         if phase_bug:
             ang = _atan2(xi, xr)
-            # DC/Nyquist bins are exactly real: angle is 0 or +pi by np.angle
+            # the DC bin is exactly real: angle is 0 or +pi by np.angle
             # convention (see stft.make_rdft / griffinlim._gl_iteration)
-            k = xr.shape[-1]
             col = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1)
-            edge_bin = (col == 0) | (col == k - 1)
-            ang = jnp.where(edge_bin, jnp.where(xr < 0, pi, 0.0), ang)
+            ang = jnp.where(col == 0, jnp.where(xr < 0, pi, 0.0), ang)
             zr = spec * jnp.exp(ang)
+            zrn = specn * jnp.exp(jnp.where(xrn < 0, pi, 0.0))
             t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32)
         else:
             r = jnp.sqrt(xr * xr + xi * xi)
@@ -102,25 +108,51 @@ def _gl_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, fcos_ref, fsin_ref, icos_ref
             inv = jnp.where(safe, 1.0 / jnp.where(safe, r, 1.0), 0.0)
             zr = spec * jnp.where(safe, xr * inv, 1.0)
             zi = spec * (xi * inv)
+            # Nyquist imag part is exactly 0: phase is sign(xr) (1 at xr==0)
+            zrn = specn * jnp.where(xrn < 0, f32(-1.0), f32(1.0))
             t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32) + jnp.dot(
                 zi.astype(mm_t), isin, preferred_element_type=f32)
-        return t * win
+        return (t + zrn * inyq) * win
 
     for _ in range(iterations):
         f0 = wav[:, 0:FFT_SIZE] * win
         f1 = wav[:, HOP : HOP + FFT_SIZE] * win
-        t0 = one_frame(f0, spec0)
-        t1 = one_frame(f1, spec1)
+        t0 = one_frame(f0, spec0, spec0n)
+        t1 = one_frame(f1, spec1, spec1n)
         zeros_tail = jnp.zeros((wav.shape[0], _PAD_TAIL), f32)
         zeros_head = jnp.zeros((wav.shape[0], HOP), f32)
         zeros_mid = jnp.zeros((wav.shape[0], _PAD_MID), f32)
         wav = (jnp.concatenate([t0, zeros_tail], axis=1)
                + jnp.concatenate([zeros_head, t1, zeros_mid], axis=1))
-    out_ref[:] = wav
+    return wav
 
 
-def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, fcos_ref, fsin_ref,
-                     icos_ref, isin_ref, win_ref, winv_ref, tmatT_ref, pmatT_ref,
+def _split_nyquist(ops: StreamingGLOps):
+    """Pre-split the DFT/mel operators at the Nyquist bin (see _gl_loop)."""
+    f32 = jnp.float32
+    Km = FFT_SIZE // 2  # 128 clean bins; bin 128 (Nyquist) handled on the VPU
+    return (ops.Minv[:, :Km].astype(f32), ops.Minv[:, Km][None, :].astype(f32),
+            ops.rdft.F_cos[:, :Km].astype(f32), ops.rdft.F_sin[:, :Km].astype(f32),
+            ops.rdft.F_cos[:, Km][None, :].astype(f32),
+            ops.rdft.I_cos[:Km].astype(f32), ops.rdft.I_sin[:Km].astype(f32),
+            ops.rdft.I_cos[Km][None, :].astype(f32))
+
+
+def _gl_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, minvn_ref, fcos_ref,
+               fsin_ref, fnyq_ref, icos_ref, isin_ref, inyq_ref, win_ref,
+               out_ref, *, iterations: int, phase_bug: bool,
+               bf16: bool = False):
+    mm_t = jnp.bfloat16 if bf16 else jnp.float32
+    out_ref[:] = _gl_loop(
+        lm0_ref[:], lm1_ref[:], wav_ref[:], minv_ref[:], minvn_ref[:],
+        fcos_ref[:].astype(mm_t), fsin_ref[:].astype(mm_t), fnyq_ref[:],
+        icos_ref[:].astype(mm_t), isin_ref[:].astype(mm_t), inyq_ref[:],
+        win_ref[:], iterations=iterations, phase_bug=phase_bug, mm_t=mm_t)
+
+
+def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, minvn_ref, fcos_ref,
+                     fsin_ref, fnyq_ref, icos_ref, isin_ref, inyq_ref,
+                     win_ref, winv_ref, tmatT_ref, pmatT_ref,
                      cpowT_ref, aT_ref, out_ref, prev1_scr, prev2_scr, lp_scr, *,
                      iterations: int, phase_bug: bool, norm: float, tile: int,
                      n_pow: int):
@@ -156,55 +188,12 @@ def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, fcos_ref, fsin_ref,
         prev2_scr[:] = jnp.zeros_like(prev2_scr)
         lp_scr[:] = jnp.zeros_like(lp_scr)
 
-    # --- Griffin-Lim iterations (same body as _gl_kernel) ---
-    mm_t = f32
-    fcos = fcos_ref[:]
-    fsin = fsin_ref[:]
-    icos = icos_ref[:]
-    isin = isin_ref[:]
-    win = win_ref[:]
-
-    def from_log_mels(lm):
-        out = jnp.dot(jnp.exp(lm), minv_ref[:], preferred_element_type=f32)
-        return jnp.where(jnp.isfinite(out), out, 0.0)
-
-    spec0 = from_log_mels(lm0_ref[:])
-    spec1 = from_log_mels(lm1_ref[:])
-    wav = wav_ref[:]
-    pi = f32(np.pi)
-
-    def one_frame(fr, spec):
-        fr = fr.astype(mm_t)
-        xr = jnp.dot(fr, fcos, preferred_element_type=f32)
-        xi = -jnp.dot(fr, fsin, preferred_element_type=f32)
-        if phase_bug:
-            ang = _atan2(xi, xr)
-            kk = xr.shape[-1]
-            col = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1)
-            edge_bin = (col == 0) | (col == kk - 1)
-            ang = jnp.where(edge_bin, jnp.where(xr < 0, pi, 0.0), ang)
-            zr = spec * jnp.exp(ang)
-            t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32)
-        else:
-            r = jnp.sqrt(xr * xr + xi * xi)
-            safe = r > 0
-            inv = jnp.where(safe, 1.0 / jnp.where(safe, r, 1.0), 0.0)
-            zr = spec * jnp.where(safe, xr * inv, 1.0)
-            zi = spec * (xi * inv)
-            t = jnp.dot(zr.astype(mm_t), icos, preferred_element_type=f32) + jnp.dot(
-                zi.astype(mm_t), isin, preferred_element_type=f32)
-        return t * win
-
-    for _ in range(iterations):
-        f0 = wav[:, 0:FFT_SIZE] * win
-        f1 = wav[:, HOP : HOP + FFT_SIZE] * win
-        t0 = one_frame(f0, spec0)
-        t1 = one_frame(f1, spec1)
-        zeros_tail = jnp.zeros((wav.shape[0], _PAD_TAIL), f32)
-        zeros_head = jnp.zeros((wav.shape[0], HOP), f32)
-        zeros_mid = jnp.zeros((wav.shape[0], _PAD_MID), f32)
-        wav = (jnp.concatenate([t0, zeros_tail], axis=1)
-               + jnp.concatenate([zeros_head, t1, zeros_mid], axis=1))
+    # --- Griffin-Lim iterations (shared body, Nyquist-split matmuls) ---
+    wav = _gl_loop(
+        lm0_ref[:], lm1_ref[:], wav_ref[:], minv_ref[:], minvn_ref[:],
+        fcos_ref[:], fsin_ref[:], fnyq_ref[:], icos_ref[:], isin_ref[:],
+        inyq_ref[:], win_ref[:], iterations=iterations, phase_bug=phase_bug,
+        mm_t=f32)
 
     # --- overlap-add across blocks (carry = last two blocks of prev tile) ---
     # Row shifts concatenate FULL 480-wide rows (lane offset 0 on every
@@ -287,7 +276,7 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
             + jnp.where(rows >= 1, w[None, HOP : 2 * HOP], 0.0)
             + jnp.where(rows >= 2, w[None, 2 * HOP :], 0.0))
     winv = jnp.where(wsum != 0, 1.0 / jnp.where(wsum != 0, wsum, 1.0), 1.0)
-    K = ops.rdft.F_cos.shape[1]
+    Km = FFT_SIZE // 2
     S = lp_op.dim
 
     grid = (Bp // tile,)
@@ -304,11 +293,14 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
                 pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                full((n_mel, K)),
-                full((FFT_SIZE, K)),
-                full((FFT_SIZE, K)),
-                full((K, FFT_SIZE)),
-                full((K, FFT_SIZE)),
+                full((n_mel, Km)),
+                full((1, n_mel)),
+                full((FFT_SIZE, Km)),
+                full((FFT_SIZE, Km)),
+                full((1, FFT_SIZE)),
+                full((Km, FFT_SIZE)),
+                full((Km, FFT_SIZE)),
+                full((1, FFT_SIZE)),
                 full((1, FFT_SIZE)),
                 pl.BlockSpec((tile, HOP), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 full((HOP, HOP)),
@@ -325,13 +317,12 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
             interpret=interpret,
         )(*arrays)
 
+    minv, minvn, fcos, fsin, fnyq, icos, isin, inyq = _split_nyquist(ops)
     # The kernel keys its scratch reset and cross-tile OLA/low-pass carries
     # on program_id(0): vmap must launch one kernel per batch element
     # (pallas_util.sequential_vmap) or state leaks between elements.
     out = sequential_vmap(call_kernel)(
-        lm0, lm1, wav, ops.Minv.astype(jnp.float32),
-        ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
-        ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32),
+        lm0, lm1, wav, minv, minvn, fcos, fsin, fnyq, icos, isin, inyq,
         win2d, winv,
         jnp.asarray(lp_op.Tmat, jnp.float32).T, jnp.asarray(lp_op.Pmat, jnp.float32).T,
         jnp.asarray(lp_op.Cpow, jnp.float32).T, jnp.asarray(lp_op.A_L, jnp.float32).T)
@@ -352,9 +343,10 @@ def gl_blocks_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streami
     lm1 = jnp.pad(log_mels[1:].astype(jnp.float32), ((0, Bp - B), (0, 0)))
     wav = jnp.pad(rand_init.astype(jnp.float32), ((0, Bp - B), (0, 0)))
     win2d = ops.window.astype(jnp.float32)[None, :]
-    K = ops.rdft.F_cos.shape[1]
+    Km = FFT_SIZE // 2
 
     grid = (Bp // tile,)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_gl_kernel, iterations=iterations, phase_bug=phase_bug, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((Bp, BLOCK_SAMPLES), jnp.float32),
@@ -363,16 +355,17 @@ def gl_blocks_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streami
             pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, n_mel), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_mel, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FFT_SIZE, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, FFT_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const((n_mel, Km)),
+            const((1, n_mel)),
+            const((FFT_SIZE, Km)),
+            const((FFT_SIZE, Km)),
+            const((1, FFT_SIZE)),
+            const((Km, FFT_SIZE)),
+            const((Km, FFT_SIZE)),
+            const((1, FFT_SIZE)),
+            const((1, FFT_SIZE)),
         ],
         out_specs=pl.BlockSpec((tile, BLOCK_SAMPLES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lm0, lm1, wav, ops.Minv.astype(jnp.float32),
-      ops.rdft.F_cos.astype(jnp.float32), ops.rdft.F_sin.astype(jnp.float32),
-      ops.rdft.I_cos.astype(jnp.float32), ops.rdft.I_sin.astype(jnp.float32), win2d)
+    )(lm0, lm1, wav, *_split_nyquist(ops), win2d)
     return out[:B]
