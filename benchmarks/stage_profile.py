@@ -123,10 +123,20 @@ def main(duration_s=1800.0, reps=5):
                                float(cfg.gl_norm), cfg.gl_iterations, cfg.phase_bug,
                                interpret=interp)
 
-    def run_full(c, eeg):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
+    def _full_gated(c, eeg):
+        # ONE packed fetch: fetching spec-sum and audio tail separately costs
+        # a second serialized ~25 ms relay RPC per timed run (bench.py gates
+        # the same way; the round-3 "26 ms XLA glue" reading was this RTT)
         spec, audio = pipeline._offline_decode_jit(params, c, eeg, ends_d, rand,
                                                    window_S, plan)
-        return float(jnp.sum(jnp.abs(spec))), int(audio[-1])
+        return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+
+    def run_full(c, eeg):
+        g = np.asarray(_full_gated(c, eeg))
+        return float(g[0]), float(g[1])
 
     # stage inputs (device-resident, computed once)
     s_cat = jax.block_until_ready(run_filter(eegs[0]))

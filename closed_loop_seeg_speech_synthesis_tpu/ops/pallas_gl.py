@@ -155,7 +155,7 @@ def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, minvn_ref, fcos_ref,
                      win_ref, winv_ref, tmatT_ref, pmatT_ref,
                      cpowT_ref, aT_ref, out_ref, prev1_scr, prev2_scr, lp_scr, *,
                      iterations: int, phase_bug: bool, norm: float, tile: int,
-                     n_pow: int):
+                     n_pow: int, bf16: bool = False):
     """GL iterations + the whole vocoder tail in one program.
 
     Fuses, after the per-block Griffin-Lim loop (identical to ``_gl_kernel``):
@@ -189,11 +189,13 @@ def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, minvn_ref, fcos_ref,
         lp_scr[:] = jnp.zeros_like(lp_scr)
 
     # --- Griffin-Lim iterations (shared body, Nyquist-split matmuls) ---
+    mm_t = jnp.bfloat16 if bf16 else f32
     wav = _gl_loop(
         lm0_ref[:], lm1_ref[:], wav_ref[:], minv_ref[:], minvn_ref[:],
-        fcos_ref[:], fsin_ref[:], fnyq_ref[:], icos_ref[:], isin_ref[:],
+        fcos_ref[:].astype(mm_t), fsin_ref[:].astype(mm_t), fnyq_ref[:],
+        icos_ref[:].astype(mm_t), isin_ref[:].astype(mm_t),
         inyq_ref[:], win_ref[:], iterations=iterations, phase_bug=phase_bug,
-        mm_t=f32)
+        mm_t=mm_t)
 
     # --- overlap-add across blocks (carry = last two blocks of prev tile) ---
     # Row shifts concatenate FULL 480-wide rows (lane offset 0 on every
@@ -245,11 +247,11 @@ def _gl_audio_kernel(lm0_ref, lm1_ref, wav_ref, minv_ref, minvn_ref, fcos_ref,
 
 
 @partial(jax.jit, static_argnames=("iterations", "phase_bug", "norm", "tile",
-                                   "n_pow", "interpret"))
+                                   "n_pow", "interpret", "bf16"))
 def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: StreamingGLOps,
                     lp_op, norm: float, iterations: int = 8, phase_bug: bool = True,
                     tile: int = 256, n_pow: int = 16,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, bf16: bool = False) -> jnp.ndarray:
     """Fused GL + vocoder tail: logMel frames -> int16 audio in ONE kernel.
 
     log_mels: (B+1, n_mel); rand_init: (B, 480); lp_op: BlockedIIR of the
@@ -286,7 +288,7 @@ def gl_audio_pallas(log_mels: jnp.ndarray, rand_init: jnp.ndarray, ops: Streamin
     def call_kernel(*arrays):
         return pl.pallas_call(
             partial(_gl_audio_kernel, iterations=iterations, phase_bug=phase_bug,
-                    norm=float(norm), tile=tile, n_pow=n_pow),
+                    norm=float(norm), tile=tile, n_pow=n_pow, bf16=bf16),
             out_shape=jax.ShapeDtypeStruct((Bp, HOP), jnp.int16),
             grid=grid,
             in_specs=[

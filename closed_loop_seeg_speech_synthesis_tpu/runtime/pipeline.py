@@ -90,6 +90,14 @@ class DecoderConfig:
     # power sum, see ops/pallas_gl._gl_audio_kernel).  "auto" = on whenever
     # the pallas GL kernel runs.
     use_pallas_gl_tail: Any = "auto"
+    # Run the Griffin-Lim frame/inverse matmuls in bfloat16 (operands cast,
+    # f32 accumulation).  The 8-iteration phase recursion is chaotic under
+    # ANY precision change (the f32 pallas path already diverges from the
+    # f64 golden path per docs/NUMERICS.md), so this knob trades per-sample
+    # waveform identity for MXU throughput; the decoded spectrogram —
+    # everything upstream of the vocoder — is untouched.  Off by default:
+    # quality-gated tests (mel-domain r parity) rather than LSB parity.
+    gl_bf16: bool = False
     # Fused filter-chain + log-power kernel (raw sEEG read from HBM once,
     # boundary state carried in scratch across the sequential TPU grid).
     use_pallas_frontend: bool = True
@@ -328,13 +336,15 @@ def _offline_decode_jit(params: DecoderParams, cfg: DecoderConfig, eeg: jnp.ndar
 
         audio = gl_audio_pallas(mel_frames, rand_init, params.gl_ops,
                                 params.lowpass_op, float(cfg.gl_norm),
-                                cfg.gl_iterations, cfg.phase_bug)
+                                cfg.gl_iterations, cfg.phase_bug,
+                                bf16=cfg.gl_bf16)
         return mel_frames, audio
     if use_pallas_gl:
         from ..ops.pallas_gl import gl_blocks_pallas
 
         re = gl_blocks_pallas(mel_frames, rand_init, params.gl_ops,
-                              cfg.gl_iterations, cfg.phase_bug)
+                              cfg.gl_iterations, cfg.phase_bug,
+                              bf16=cfg.gl_bf16)
     else:
         re = gl.streaming_gl_blocks(mel_frames, rand_init, params.gl_ops,
                                     cfg.gl_iterations, cfg.phase_bug)

@@ -263,3 +263,49 @@ def test_frontend_kernels_vmap_isolated(rng):
         batched = np.asarray(jax.vmap(fn)(x))
         for v in range(V):
             np.testing.assert_array_equal(batched[v], np.asarray(fn(x[v])))
+
+
+@pytest.mark.parametrize("phase_bug", [True, False])
+def test_gl_bf16_quality(rng, phase_bug):
+    """bf16 GL matmuls (gl_bf16 knob): quality-gated, not LSB parity.
+
+    Griffin-Lim's output phase is not unique — precision changes pick a
+    different waveform solution — so the gate is what the vocoder promises:
+    spectral-objective attainment ||(|STFT(x)| - target)|| / ||target||.
+    Measured (48 smooth blocks, 8 iters): with the correct phase estimator
+    bf16 attains the identical objective as f32 (0.2820 both); under the
+    reference's exp(angle) quirk (phase_bug=True, where the objective never
+    converges) attainment is within ~2.5% and the per-hop energy envelope
+    correlates ~0.95."""
+    ops = gl.make_streaming_gl_ops(dtype=jnp.float32)
+    from closed_loop_seeg_speech_synthesis_tpu.ops.pallas_gl import gl_blocks_pallas
+
+    B = 48
+    # smooth, speech-like mel trajectories (iid frames would make any
+    # spectral-attainment comparison meaningless)
+    walk = np.cumsum(rng.randn(B + 1, 40) * 0.15, axis=0)
+    lm = walk - walk.mean() - 1.0
+    rand = rng.rand(B, 480)
+    r32 = np.asarray(gl_blocks_pallas(jnp.asarray(lm, jnp.float32),
+                                      jnp.asarray(rand, jnp.float32), ops, 8,
+                                      phase_bug, tile=8, interpret=True), np.float64)
+    r16 = np.asarray(gl_blocks_pallas(jnp.asarray(lm, jnp.float32),
+                                      jnp.asarray(rand, jnp.float32), ops, 8,
+                                      phase_bug, tile=8, interpret=True,
+                                      bf16=True), np.float64)
+    assert np.all(np.isfinite(r16))
+    target = np.exp(lm)[:B] @ np.asarray(ops.Minv, np.float64)
+    w = np.asarray(ops.window, np.float64)
+
+    def attainment(a):
+        mag = np.abs(np.fft.rfft(a[:, :256] * w, axis=1))
+        return np.linalg.norm(mag - target) / np.linalg.norm(target)
+
+    a32, a16 = attainment(r32), attainment(r16)
+    if phase_bug:
+        assert a16 <= a32 * 1.1, (a32, a16)
+        e32 = np.sqrt((r32 ** 2).mean(axis=1) + 1e-6)
+        e16 = np.sqrt((r16 ** 2).mean(axis=1) + 1e-6)
+        assert np.corrcoef(e32, e16)[0, 1] > 0.9
+    else:
+        assert a16 <= a32 * 1.02, (a32, a16)
