@@ -126,16 +126,17 @@ def main(duration_s=1800.0, reps=5):
     from functools import partial
 
     @partial(jax.jit, static_argnums=0)
-    def _full_gated(c, eeg):
+    def _full_gated(c, eeg, ends_a, rand_a, window_a):
         # ONE packed fetch: fetching spec-sum and audio tail separately costs
         # a second serialized ~25 ms relay RPC per timed run (bench.py gates
-        # the same way; the round-3 "26 ms XLA glue" reading was this RTT)
-        spec, audio = pipeline._offline_decode_jit(params, c, eeg, ends_d, rand,
-                                                   window_S, plan)
+        # the same way; the round-3 "26 ms XLA glue" reading was this RTT).
+        # Big arrays are explicit args per the NOTE above (HTTP 413).
+        spec, audio = pipeline._offline_decode_jit(params, c, eeg, ends_a,
+                                                   rand_a, window_a, plan)
         return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
 
     def run_full(c, eeg):
-        g = np.asarray(_full_gated(c, eeg))
+        g = np.asarray(_full_gated(c, eeg, ends_d, rand, window_S))
         return float(g[0]), float(g[1])
 
     # stage inputs (device-resident, computed once)
