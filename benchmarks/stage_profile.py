@@ -123,20 +123,13 @@ def main(duration_s=1800.0, reps=5):
                                float(cfg.gl_norm), cfg.gl_iterations, cfg.phase_bug,
                                interpret=interp)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=0)
-    def _full_gated(c, eeg, ends_a, rand_a, window_a):
-        # ONE packed fetch: fetching spec-sum and audio tail separately costs
-        # a second serialized ~25 ms relay RPC per timed run (bench.py gates
-        # the same way; the round-3 "26 ms XLA glue" reading was this RTT).
-        # Big arrays are explicit args per the NOTE above (HTTP 413).
-        spec, audio = pipeline._offline_decode_jit(params, c, eeg, ends_a,
-                                                   rand_a, window_a, plan)
-        return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+    # single-fetch gate shared by all replay harnesses (benchmarks/gate.py);
+    # big arrays are explicit jit args per the NOTE above (HTTP 413)
+    from benchmarks.gate import gated_offline_decode
 
     def run_full(c, eeg):
-        g = np.asarray(_full_gated(c, eeg, ends_d, rand, window_S))
+        g = np.asarray(gated_offline_decode(params, c, eeg, ends_d, rand,
+                                            window_S, plan))
         return float(g[0]), float(g[1])
 
     # stage inputs (device-resident, computed once)

@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -63,15 +62,11 @@ def _time_replay(cfg, params, duration_s=600.0, n=3):
     eegs = [jax.random.normal(jax.random.PRNGKey(i), (T, cfg.n_channels), jnp.float32) for i in range(n)]
     jax.block_until_ready((eegs, rand, S_d))
 
-    # gate on ONE fetched 2-element array: separate spec/audio fetches each
-    # pay a serialized ~25 ms relay RPC (see bench.py)
-    @jax.jit
-    def gated(e, r):
-        spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, r, S_d, plan)
-        return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+    # single-fetch gate shared by all replay harnesses (benchmarks/gate.py)
+    from benchmarks.gate import gated_offline_decode
 
     def run(e):
-        g = np.asarray(gated(e, rand))
+        g = np.asarray(gated_offline_decode(params, cfg, e, ends_d, rand, S_d, plan))
         return float(g[0]), float(g[1])
 
     run(eegs[0])
@@ -166,16 +161,12 @@ def sweep_matrix(reps=5, duration_s=1800.0, only_ch=None):
             built.append((name, cfg, params, aux))
         jax.block_until_ready(eegs)
 
-        @partial(jax.jit, static_argnames=("cfg", "plan"))
-        def _gated(cfg, params, e, ends_d, rand, S_d, plan):
-            spec, audio = pipeline._offline_decode_jit(params, cfg, e, ends_d, rand, S_d, plan)
-            return jnp.stack([jnp.sum(jnp.abs(spec)), audio[-1].astype(jnp.float32)])
+        from benchmarks.gate import gated_offline_decode
 
         def run(entry, e):
             _name, cfg, params, (ends_d, rand, S_d, plan) = entry
-            # single-fetch gate: two separate fetches would charge a second
-            # serialized relay RPC to every config point (see bench.py)
-            g = np.asarray(_gated(cfg, params, e, ends_d, rand, S_d, plan))
+            # single-fetch gate shared by all replay harnesses (benchmarks/gate.py)
+            g = np.asarray(gated_offline_decode(params, cfg, e, ends_d, rand, S_d, plan))
             return float(g[0]), float(g[1])
 
         for entry in built:  # compile everything before any timing

@@ -179,6 +179,9 @@ class Experiment1:
         # staging dominates the wall; see benchmarks/eval_full.py).
         if args is None:
             args = self._construct_datasets_for_run(nb_folds)
+        elif len(args) != nb_folds:
+            raise ValueError(
+                f"pre-staged args carry {len(args)} folds but nb_folds={nb_folds}")
         if batched:
             reco, orig, decoded_audio = self._run_folds_batched(args)
         else:
@@ -220,6 +223,9 @@ class Experiment1:
 
         if base_args is None:
             base_args = self._construct_datasets_for_run(nb_folds, randomize=False)
+        elif len(base_args) != nb_folds:
+            raise ValueError(
+                f"pre-staged base_args carry {len(base_args)} folds but nb_folds={nb_folds}")
         key = key if key is not None else jax.random.PRNGKey(0)
 
         # per (run, fold) shift indices, host RNG like the reference
