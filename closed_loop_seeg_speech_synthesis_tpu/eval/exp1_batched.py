@@ -60,6 +60,10 @@ def _make_one_run(train_len, test_len, n_channels, eeg_sr, norm_factor,
             valid=jnp.ones((n_mel, nb_intervals), bool),
         ),
         np.zeros((n_mel, nb_intervals)), np.arange(nb_feats),
+        # fold medians are substituted as TRACED values below; the host-built
+        # exact smoothing lattice would be stale — use the arithmetic twin
+        # (this eval is correlation-gated, ulps are irrelevant here)
+        exact_smooth=False,
     )
 
     # training-grid framing (offline.py:99-116)

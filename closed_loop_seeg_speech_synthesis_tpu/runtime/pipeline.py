@@ -172,13 +172,16 @@ class DecoderParams:
     lowpass_op_batch: iir.BlockedIIR           # same filter at block=4096 (offline audio)
     shift_table: jnp.ndarray                   # (period,) int32 frame shifts
     frontend_ops: Any                          # FrontendOps or None (fused f32 kernel)
+    smooth_pos: Any = None                     # (n_mel, 5) int32 reflect positions
+    smooth_table: Any = None                   # (n_mel, K^5) f64 exact smoothing
+                                               # lattice (bit-exact golden path)
 
     def tree_flatten(self):
         return (
             (self.filt_op, self.filt_op_pkt, self.filt_zi_scale, self.filt_s_const,
              self.zf_prefix, self.select, self.lda, self.lda_coef_full, self.medians,
              self.gauss_kernel, self.gl_ops, self.lowpass_op, self.lowpass_op_batch,
-             self.shift_table, self.frontend_ops),
+             self.shift_table, self.frontend_ops, self.smooth_pos, self.smooth_table),
             None,
         )
 
@@ -192,8 +195,15 @@ def build_decoder_params(
     lda_params: lda_mod.LDAParams,
     medians: np.ndarray,
     select: np.ndarray,
+    exact_smooth: bool = True,
 ) -> DecoderParams:
-    """Design-time construction (host, float64) of all device operators."""
+    """Design-time construction (host, float64) of all device operators.
+
+    ``exact_smooth=False`` skips the host-precomputed bit-exact smoothing
+    lattice (float64 path only; see ``_exact_smooth_fields``) — required when
+    the caller substitutes *traced* medians into the returned params (e.g.
+    the batched fold runner), where a stale host table would be wrong.
+    """
     dt = cfg.dtype
     chain = fd.high_gamma_bank(cfg.sr, cfg.line_noise)
     combined, warm = iir.make_warmstart_chain(chain, cfg.prefill)
@@ -231,7 +241,20 @@ def build_decoder_params(
         lowpass_op_batch=iir.make_blocked_iir(lowpass_ss, 4096, dt),
         shift_table=jnp.asarray(table, jnp.int32),
         frontend_ops=frontend_ops,
+        **(_exact_smooth_fields(medians, dt) if exact_smooth else {}),
     )
+
+
+def _exact_smooth_fields(medians, dt) -> dict:
+    """Bit-exact smoothing lattice for the float64 golden path (see
+    ops/smoothing.exact_smooth_table).  Built only when the decode dtype is
+    float64 and the lattice is small (default 40 x 9^5 = 18.9 MB); the f32
+    accelerator paths keep the fused arithmetic smoothing."""
+    med = np.asarray(medians)
+    if dt != jnp.float64 or med.shape[1] ** 5 > 100_000:
+        return {}
+    pos, tbl = smoothing.exact_smooth_table(med)
+    return {"smooth_pos": jnp.asarray(pos), "smooth_table": jnp.asarray(tbl)}
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +295,16 @@ def _frames_to_mel(params: DecoderParams, stacked: jnp.ndarray) -> jnp.ndarray:
     neg = jnp.asarray(-jnp.inf, scores.dtype)
     scores = jnp.where(params.lda.valid[None], scores, neg)
     slot = jnp.argmax(scores, axis=-1)                      # (N, n_mel) class slots
+    if params.smooth_table is not None:
+        # bit-exact float64 path: integer labels -> precomputed exactly-
+        # rounded lattice; the gather involves no float arithmetic, so the
+        # output matches the reference system (scipy gaussian_filter over
+        # median lookups) bit-for-bit
+        B = params.lda.classes.shape[0]
+        label = params.lda.classes.astype(jnp.int32)[jnp.arange(B)[None, :], slot]
+        return smoothing.smooth_by_table(label, params.smooth_pos,
+                                         params.smooth_table,
+                                         params.medians.shape[1])
     # classes are the slot's original label; medians indexed by original label
     onehot_slot = jax.nn.one_hot(slot, params.lda.classes.shape[1], dtype=stacked.dtype)
     label = jnp.einsum("tbk,bk->tb", onehot_slot, params.lda.classes.astype(stacked.dtype))

@@ -117,8 +117,12 @@ class GoldenVocoder:
 
         self.fft_size, self.hop = 256, 160
         self.block = 480
-        self.win = win.blackman(self.fft_size, sym=True)
-        self.ola_win = win.blackman(self.block, sym=True)
+        # np.blackman, NOT scipy.signal.windows.blackman: the reference's
+        # ``scipy.blackman`` (GriffinLim.py:50,160) was a re-export of
+        # numpy's, and the two differ by ~1 ulp — enough for the chaotic
+        # phase iteration to diverge visibly on long sessions.
+        self.win = np.blackman(self.fft_size)
+        self.ola_win = np.blackman(self.block)
         _, self.Minv = mel_ops.mel_matrices(self.fft_size // 2 + 1, n_mel, 16000.0)
         self.iters = num_iterations
         self.norm = norm_factor

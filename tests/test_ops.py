@@ -109,6 +109,63 @@ def test_feature_chain_matches_golden_chunked(rng):
     np.testing.assert_allclose(stacked, rows, rtol=1e-6, atol=1e-9)
 
 
+def test_high_gamma_bank_golden_constants():
+    """Pin the exact SOS coefficients of every deployed filter design.
+
+    Every number downstream (features, spectrograms, LDA weights, audio)
+    rests on these designs matching what the reference obtains through mne
+    (``ECogFeatCalc.py:42-59``).  mne's ``construct_iir_filter`` with an
+    explicit ``iir_params={'order': 8, 'ftype': 'butter'}`` normalizes the
+    band edges by Nyquist and delegates to ``scipy.signal.iirfilter(8, Wn,
+    btype='bandpass'|'bandstop', ftype='butter', output='sos')`` — band-stop
+    when l_freq > h_freq, over the swapped edges.  The float64 goldens in
+    tests/golden_sos.npz were produced by that exact call chain; if a scipy
+    upgrade changes ``iirfilter``/``butter`` internals (e.g. the bilinear
+    transform or zpk->sos pairing), this trips instead of silently shifting
+    every downstream number.  Bit-exact equality required (atol=0).
+    """
+    import os
+
+    goldens = np.load(os.path.join(os.path.dirname(__file__), "golden_sos.npz"))
+    n_checked = 0
+    for sr in (1024.0, 2048.0):
+        for ln, n_filt in ((50, 3), (60, 2)):
+            chain = fd.high_gamma_bank(sr, ln)
+            assert len(chain) == n_filt
+            for i, sos in enumerate(chain):
+                want = goldens[f"sr{int(sr)}_ln{ln}_f{i}"]
+                assert sos.shape == (8, 6) and sos.dtype == np.float64
+                np.testing.assert_array_equal(sos, want,
+                                              err_msg=f"sr={sr} ln={ln} filter={i}")
+                n_checked += 1
+    assert n_checked == 10
+    # spot literal (human-readable anchor): first biquad of the 1024 Hz
+    # high-gamma band-pass, exact float64 values
+    hg = fd.high_gamma_bank(1024.0, 50)[0]
+    np.testing.assert_array_equal(
+        hg[0], np.array([2.037059820702679e-05, 4.074119641405358e-05,
+                         2.037059820702679e-05, 1.0,
+                         -1.090755031819602, 0.4969231207342202]))
+
+
+def test_mne_stub_matches_filter_design():
+    """The test-fixture mne stub (tests/refsys.py) independently implements
+    mne's documented design path; it must reproduce ``high_gamma_bank``
+    exactly, tying the reference-system oracle to the golden constants."""
+    from refsys import _make_mne_stub
+
+    create = _make_mne_stub()["mne.filter"].create_filter
+    for sr in (1024.0, 2048.0):
+        bands = {50: [(70, 170), (102, 98), (152, 148)],
+                 60: [(70, 170), (122, 118)]}
+        for ln, edges in bands.items():
+            chain = fd.high_gamma_bank(sr, ln)
+            for sos, (l_freq, h_freq) in zip(chain, edges):
+                got = create(None, sr, l_freq, h_freq, method="iir",
+                             iir_params={"order": 8, "ftype": "butter"})["sos"]
+                np.testing.assert_array_equal(got, sos)
+
+
 # ------------------------------ mel / quant -------------------------------
 
 
