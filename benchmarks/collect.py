@@ -49,11 +49,19 @@ def main(out_dir="/tmp/bench_battery"):
 
     print(f"# Battery report ({out_dir}, {len(m)} metrics)\n")
 
-    head_keys = sorted(k for k in m if k.startswith("offline_replay_xrt_"))
+    def _ch_key(k):
+        # numeric channel-count order ("64ch" before "128ch"), sr tag last
+        tail = k[len("offline_replay_xrt_"):]
+        num = tail.split("ch")[0]
+        return (int(num) if num.isdigit() else 10**9, tail)
+
+    head_keys = sorted((k for k in m if k.startswith("offline_replay_xrt_")),
+                       key=_ch_key)
+    if head_keys:
+        print("## Headline (bench.py)\n")
     for hk in head_keys:
         r = m[hk]
         ch = hk[len("offline_replay_xrt_"):]
-        print("## Headline (bench.py)\n")
         print("| metric | value |")
         print("|---|---|")
         print(f"| offline replay xRT @{ch} (30-min session) | **{fmt(r['value'])}x** |")
@@ -66,6 +74,7 @@ def main(out_dir="/tmp/bench_battery"):
             ("relay_rtt_floor_ms", "relay RTT floor (absent on local hardware)"),
             ("wall_p99_through_relay_ms", "per-dispatch wall p99 through the relay"),
             ("sustained_pipelined_ms_per_packet", "sustained pipelined ms/packet (through relay)"),
+            ("scan_amortized_per_packet_device_ms", "scan-amortized per-packet device ms (local-hw estimate)"),
             ("chunkedK4_per_packet_device_ms", "chunked K=4 per-packet device ms"),
         ]:
             if k in r:

@@ -104,22 +104,33 @@ def main(workdir="/tmp/exp1_ab", reps=3, n_words=100, n_channels=64):
         z = np.load(tcache)
         targets = {int(k.split("_")[1]): None for k in z.files if k.startswith("q_")}
         targets = {k: (z[f"q_{k}"], z[f"med_{k}"], z[f"ym_{k}"]) for k in targets}
-    xts, xes, qs, yms, meds, keys = [], [], [], [], [], []
     key = jax.random.PRNGKey(0)
     fresh = False
-    for (k, x_train, y_train, x_test, y_test, *_rest) in args:
+
+    # per-fold target staging in threads (quantization + masked f64 copies
+    # release the GIL) — the cold-cache staging wall was 249 s single-
+    # threaded in round 3 (VERDICT r3 #6)
+    def stage_fold(a):
+        (k, x_train, y_train, x_test, y_test, *_rest) = a
         if k in targets:
             q, medians, y_mean = targets[k]
+            new = None
         else:
             q, medians, y_mean = fold_targets(y_train)
-            targets[k] = (np.asarray(q), np.asarray(medians), np.asarray(y_mean))
+            new = (k, (np.asarray(q), np.asarray(medians), np.asarray(y_mean)))
+        return (np.asarray(x_train, np.float64)[:, mask],
+                np.asarray(x_test, np.float64)[:, mask],
+                q, y_mean, medians, jax.random.fold_in(key, k), new)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(args), os.cpu_count() or 4)) as ex:
+        staged_folds = list(ex.map(stage_fold, args))
+    xts, xes, qs, yms, meds, keys = ([s[i] for s in staged_folds] for i in range(6))
+    for s in staged_folds:
+        if s[6] is not None:
+            targets[s[6][0]] = s[6][1]
             fresh = True
-        xts.append(np.asarray(x_train, np.float64)[:, mask])
-        xes.append(np.asarray(x_test, np.float64)[:, mask])
-        qs.append(q)
-        yms.append(y_mean)
-        meds.append(medians)
-        keys.append(jax.random.fold_in(key, k))
     if fresh:
         np.savez(tcache, **{f"{p}_{k}": v for k, (q_, m_, y_) in targets.items()
                             for p, v in (("q", q_), ("med", m_), ("ym", y_))})

@@ -18,10 +18,17 @@ in one program) alongside the raw dispatch wall time.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Operating point (decode.py:115-116): 1024 Hz / 32-sample packets by
+# default; CLSS_BENCH_SR=2048 selects the 2048 Hz / 64-sample-packet point.
+SR = float(os.environ.get("CLSS_BENCH_SR", 1024))
+PACKET = 64 if SR == 2048 else 32
+_TAG = "" if SR == 1024 else f"_sr{int(SR)}"
 
 
 def _make(cfg_kwargs, n_channels, seed=0):
@@ -31,7 +38,7 @@ def _make(cfg_kwargs, n_channels, seed=0):
     from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline
 
     rng = np.random.RandomState(seed)
-    cfg = pipeline.DecoderConfig(sr=1024.0, n_channels=n_channels, packet_size=32,
+    cfg = pipeline.DecoderConfig(sr=SR, n_channels=n_channels, packet_size=PACKET,
                                  dtype=jnp.float32, **cfg_kwargs)
     lda_params = lda_mod.LDAParams(
         coef=jnp.asarray(rng.randn(40, 9, 150) * 0.1, jnp.float32),
@@ -82,7 +89,7 @@ def sweep_gl_iters():
     for iters in (8, 16, 32):
         cfg, params = _make({"gl_iterations": iters}, 128)
         xrt = _time_replay(cfg, params)
-        print(json.dumps({"metric": f"replay_xrt_gl{iters}", "value": round(xrt, 1),
+        print(json.dumps({"metric": f"replay_xrt_gl{iters}{_TAG}", "value": round(xrt, 1),
                           "unit": "x_realtime", "vs_baseline": round(xrt / 1000, 3)}))
 
 
@@ -90,7 +97,7 @@ def sweep_channels():
     for ch in (64, 128, 256):
         cfg, params = _make({}, ch)
         xrt = _time_replay(cfg, params)
-        print(json.dumps({"metric": f"replay_xrt_{ch}ch", "value": round(xrt, 1),
+        print(json.dumps({"metric": f"replay_xrt_{ch}ch{_TAG}", "value": round(xrt, 1),
                           "unit": "x_realtime", "vs_baseline": round(xrt / 1000, 3)}))
 
 
@@ -106,7 +113,7 @@ def sweep_fused_periods():
             cfg, params = _make({"use_pallas_epilogue": True,
                                  "epilogue_periods": G}, ch)
             xrt = _time_replay(cfg, params)
-            print(json.dumps({"metric": f"replay_xrt_fused_{ch}ch_G{G}",
+            print(json.dumps({"metric": f"replay_xrt_fused_{ch}ch_G{G}{_TAG}",
                               "value": round(xrt, 1), "unit": "x_realtime",
                               "vs_baseline": round(xrt / 1000, 3)}))
 
@@ -141,7 +148,7 @@ def sweep_matrix(reps=5, duration_s=1800.0, only_ch=None):
             points += [("tail_split", {"use_pallas_gl_tail": False})]
 
         built = []
-        T = int(1024.0 * duration_s)
+        T = int(SR * duration_s)
         eegs = [jax.random.normal(jax.random.PRNGKey(i), (T, ch), jnp.float32)
                 for i in range(2)]
         # one param build per channel group: every swept knob is a
@@ -184,12 +191,12 @@ def sweep_matrix(reps=5, duration_s=1800.0, only_ch=None):
         for name, *_ in built:
             w = min(walls[name])
             xrts[name] = duration_s / w
-            print(json.dumps({"metric": f"matrix_xrt_{ch}ch_{name}",
+            print(json.dumps({"metric": f"matrix_xrt_{ch}ch_{name}{_TAG}",
                               "value": round(duration_s / w, 1), "unit": "x_realtime",
                               "vs_baseline": round(duration_s / w / 1000, 3),
                               "walls_s": [round(x, 4) for x in walls[name]]}))
         best_g = max((n for n in xrts if n.startswith("fusedG")), key=lambda n: xrts[n])
-        print(json.dumps({"metric": f"matrix_policy_{ch}ch", "value": xrts[best_g],
+        print(json.dumps({"metric": f"matrix_policy_{ch}ch{_TAG}", "value": xrts[best_g],
                           "unit": "x_realtime", "vs_baseline": 0.0,
                           "best": best_g,
                           "fused_over_split": round(
@@ -238,16 +245,16 @@ def sweep_latency(n_packets=200):
     stats = measure_dispatch_latency(step, pipeline.init_online_carry(params, cfg),
                                      packets, n_meas=60)
 
-    print(json.dumps({"metric": "online_step_device_ms", "value": round(amortized * 1e3, 3),
+    print(json.dumps({"metric": "online_step_device_ms" + _TAG, "value": round(amortized * 1e3, 3),
                       "unit": "ms_per_packet_scan_amortized", "vs_baseline": round(10.0 / (amortized * 1e3), 2)}))
-    print(json.dumps({"metric": "online_step_p99_ms",
+    print(json.dumps({"metric": "online_step_p99_ms" + _TAG,
                       "value": stats["device_p99_ms"],
                       "unit": "ms_per_dispatch_device_side (relay floor subtracted)",
                       "vs_baseline": round(10.0 / max(stats["device_p99_ms"], 1e-9), 2)}))
-    print(json.dumps({"metric": "dispatch_floor_p50_ms", "value": stats["floor_p50_ms"],
+    print(json.dumps({"metric": "dispatch_floor_p50_ms" + _TAG, "value": stats["floor_p50_ms"],
                       "unit": "ms (relay RTT, absent on local hardware)",
                       "vs_baseline": 0.0}))
-    print(json.dumps({"metric": "online_step_wall_p99_ms", "value": stats["wall_p99_ms"],
+    print(json.dumps({"metric": "online_step_wall_p99_ms" + _TAG, "value": stats["wall_p99_ms"],
                       "unit": "ms (through the relay, harness artifact)",
                       "vs_baseline": 0.0}))
 
@@ -263,7 +270,7 @@ def sweep_latency(n_packets=200):
         dec.process_packet(pkts_np[i % n_packets])
     dec.flush()
     sustained = (time.perf_counter() - t0) / 100
-    print(json.dumps({"metric": "online_pipelined_sustained_ms",
+    print(json.dumps({"metric": "online_pipelined_sustained_ms" + _TAG,
                       "value": round(sustained * 1e3, 2),
                       "unit": "ms_per_packet (double-buffered, incl. relay)",
                       "vs_baseline": round(31.25 / (sustained * 1e3), 2)}))
@@ -293,7 +300,7 @@ def sweep_chunked_dispatch(n_meas=40):
         stats = measure_dispatch_latency(step, pipeline.init_online_carry(params, cfg),
                                          pkts, n_meas=n_meas)
         print(json.dumps({
-            "metric": f"online_chunkK{K}_per_packet_device_ms",
+            "metric": f"online_chunkK{K}_per_packet_device_ms{_TAG}",
             "value": round(stats["device_p50_ms"] / K, 3),
             "unit": "ms_per_packet (relay floor subtracted; p50/K)",
             "vs_baseline": round(10.0 / max(stats["device_p50_ms"] / K, 1e-9), 2),

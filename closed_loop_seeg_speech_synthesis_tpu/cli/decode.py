@@ -60,13 +60,32 @@ def _build_decoder(loaded, sr, n_channels_total, gl_norm, packet_size=32, dtype=
     return cfg, dec
 
 
-def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None):
-    """Batch replay (decode.py:71-96)."""
+def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None,
+                             vocoder="device"):
+    """Batch replay (decode.py:71-96).
+
+    ``vocoder="exact-host"`` re-synthesizes the audio with
+    ops/host_vocoder.ReferenceExactVocoder — byte-reproducible against
+    recordings made with the reference system (same np.random.rand draws
+    required; here the repo's default deterministic inits are used, so the
+    output is byte-stable across machines rather than byte-equal to a
+    particular reference run).  The decoded spectrogram — the scientific
+    output — is identical either way."""
     dtype = dtype or pipeline.default_compute_dtype()
     mask = np.ones(eeg.shape[1], bool)
     mask[np.asarray(loaded["bad_channels"], int)] = False
     cfg, dec = _build_decoder(loaded, sfreq, eeg.shape[1], gl_norm, dtype=dtype)
     spec, audio = pipeline.offline_decode(dec, cfg, eeg[:, mask], key=key or jax.random.PRNGKey(0))
+    if vocoder == "exact-host":
+        from ..ops import griffinlim as gl_ops
+        from ..ops.host_vocoder import decode_audio_exact
+
+        spec_np = np.asarray(spec, np.float64)
+        rows = np.asarray(gl_ops.default_rand_init(
+            key or jax.random.PRNGKey(0), spec_np.shape[0] - 1, 0, jnp.float64))
+        audio = decode_audio_exact(spec_np, rows, norm_factor=float(gl_norm))
+        logger.info("Exact-host vocoder: %d samples (reference-exact "
+                    "emission grid)", len(audio))
     logger.info("Decoding completed.")
     return np.asarray(spec), np.asarray(audio), eeg, sfreq
 
@@ -177,6 +196,12 @@ def main(argv=None):
                         help="Capture a jax.profiler trace of the decode into "
                              "DIR (XLA op timeline, viewable with "
                              "tensorboard/xprof or perfetto).")
+    parser.add_argument("--vocoder", choices=["device", "exact-host"],
+                        default="device",
+                        help="Offline mode: 'device' (TPU Pallas Griffin-Lim,"
+                             " the fast path) or 'exact-host' (NumPy vocoder "
+                             "byte-reproducing the reference GriffinLim node "
+                             "incl. its FP-jittered emission grid).")
     args = parser.parse_args(argv)
 
     config = config_mod.load_config(args.config)
@@ -217,7 +242,8 @@ def main(argv=None):
             with h5py.File(config["Development"]["seeg_file"], "r") as hf:
                 eeg = hf["sEEG"][:]
                 sfreq = int(np.asarray(hf["sEEG_sr"]).reshape(-1)[0])
-            spectrogram, audio, received, sfreq = perform_offline_decoding(loaded, eeg, sfreq, gl_norm)
+            spectrogram, audio, received, sfreq = perform_offline_decoding(
+                loaded, eeg, sfreq, gl_norm, vocoder=args.vocoder)
         else:
             spectrogram, audio, received, sfreq = perform_online_decoding(
                 config, loaded, gl_norm, run_dir, backend=args.backend,

@@ -71,9 +71,11 @@ class Experiment1:
             bad_channels = hf["bad_channels"][:]
         norm_factor = self.config.getint("Experiment1", "griffin_lim_norm")
 
-        args = []
         n_words = len(self.sess.words)
-        for k, (train_idx, test_idx) in enumerate(kfold_indices(n_words, nb_folds), start=1):
+        folds = list(enumerate(kfold_indices(n_words, nb_folds), start=1))
+
+        def stage(fold):
+            k, (train_idx, test_idx) = fold
             eeg_mask = np.ones(len(self.sess.eeg), bool)
             audio_mask = np.ones(len(self.sess.audio), bool)
             es = self.sess.word_starts_indices_eeg[test_idx[0]]
@@ -95,13 +97,24 @@ class Experiment1:
             x_train = x_train[: int(minimum * self.sess.eeg_sr)]
             y_train = y_train[: int(minimum * self.sess.audio_sr)]
 
-            if randomize:
-                r = self.rng.randint(0, len(x_train))
-                x_train = np.vstack([x_train[r:], x_train[:r]])
+            return [k, x_train, y_train, x_test, y_test, self.sess.eeg_sr,
+                    self.sess.audio_sr, bad_channels, norm_factor]
 
-            args.append((k, x_train, y_train, x_test, y_test, self.sess.eeg_sr,
-                         self.sess.audio_sr, bad_channels, norm_factor))
-        return args
+        # fold staging is embarrassingly parallel and GIL-light (numpy bool
+        # masking, scipy decimate, XLA spectrogram all release the GIL) —
+        # threads cut the cold-start staging wall ~Nx (VERDICT r3 #6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(folds), os.cpu_count() or 4)) as ex:
+            args = list(ex.map(stage, folds))
+
+        if randomize:
+            # circular shifts applied AFTER staging, sequentially in fold
+            # order, preserving the exact serial-loop RNG stream
+            for a in args:
+                r = self.rng.randint(0, len(a[1]))
+                a[1] = np.vstack([a[1][r:], a[1][:r]])
+        return [tuple(a) for a in args]
 
     def _run_folds(self, args):
         results = sorted([train_decode_fold(*a) for a in args], key=lambda r: r[0])
@@ -149,16 +162,23 @@ class Experiment1:
 
             for c0 in range(0, len(members), fold_batch):
                 chunk = members[c0 : c0 + fold_batch]
-                xts, xes, qs, yms, meds, keys = [], [], [], [], [], []
-                for _, (k, x_train, y_train, x_test, y_test, *_rest) in chunk:
+
+                def stage_member(member):
+                    _, (k, x_train, y_train, x_test, y_test, *_rest) = member
                     q, medians, y_mean = fold_targets(y_train)
-                    xts.append(np.asarray(x_train, np.float64)[:, mask])
-                    xes.append(np.asarray(x_test, np.float64)[:, mask])
-                    qs.append(q)
-                    yms.append(y_mean)
-                    meds.append(medians)
-                    # fold id as key stream (train_decode_fold uses PRNGKey(k))
-                    keys.append(jax.random.fold_in(key, k))
+                    return (np.asarray(x_train, np.float64)[:, mask],
+                            np.asarray(x_test, np.float64)[:, mask],
+                            q, y_mean, medians,
+                            # fold id as key stream (train_decode_fold uses PRNGKey(k))
+                            jax.random.fold_in(key, k))
+
+                # per-fold target staging in threads (quantization + masked
+                # f64 copies release the GIL) — VERDICT r3 #6
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(chunk), os.cpu_count() or 4)) as ex:
+                    staged = list(ex.map(stage_member, chunk))
+                xts, xes, qs, yms, meds, keys = map(list, zip(*staged))
                 reco_b, audio_b = runner(
                     jnp.asarray(np.stack(xts), dtype), jnp.asarray(np.stack(xes), dtype),
                     jnp.asarray(np.stack(qs), jnp.int32), jnp.asarray(np.stack(yms), dtype),

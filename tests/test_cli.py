@@ -68,6 +68,39 @@ def test_decode_cli_offline(workspace):
     assert spec.shape[1] == 40 and len(spec) > 500
 
 
+def test_decode_cli_exact_host_vocoder(workspace):
+    """--vocoder exact-host re-synthesizes through the reference-exact NumPy
+    vocoder: identical spectrogram, byte-stable audio on the reference's
+    FP-jittered emission grid (length differs from the constant-160 device
+    grid by the jitter's net rounding, at most a few samples)."""
+    root, cfg_path, eeg, eeg_sr = workspace
+    import h5py
+    if not (root / "storage" / "demo" / "params.h5").exists():
+        train_cli.main([cfg_path])
+    seeg_file = root / "replay_input.hdf"
+    if not seeg_file.exists():
+        with h5py.File(seeg_file, "w") as hf:
+            hf.create_dataset("sEEG", data=eeg)
+            hf.create_dataset("sEEG_sr", data=eeg_sr, dtype=np.int32)
+    run_dir = decode_cli.main([cfg_path, "--seeg_file", str(seeg_file),
+                               "--run", "replay_exact", "--vocoder", "exact-host"])
+    base_dir = decode_cli.main([cfg_path, "--seeg_file", str(seeg_file),
+                                "--run", "replay_base"])
+    spec_e = np.load(os.path.join(run_dir, "spectrogram.npy"))
+    spec_b = np.load(os.path.join(base_dir, "spectrogram.npy"))
+    np.testing.assert_array_equal(spec_e, spec_b)
+    from scipy.io import wavfile
+    sr_a, a = wavfile.read(os.path.join(run_dir, "audio.wav"))
+    sr_b, b = wavfile.read(os.path.join(base_dir, "audio.wav"))
+    assert sr_a == sr_b == 16000 and a.dtype == np.int16
+    assert abs(len(a) - len(b)) <= 4 and len(a) > 5 * 16000  # 6 s session
+    n = min(len(a), len(b))
+    # same GL inits + same spec -> waveforms correlate strongly despite the
+    # two vocoders' different FFT/rounding paths (chaotic phase iteration)
+    r = np.corrcoef(a[:n].astype(np.float64), b[:n].astype(np.float64))[0, 1]
+    assert r > 0.98
+
+
 def test_decode_cli_profile(workspace):
     """--profile wraps the decode in a jax.profiler trace capture."""
     root, cfg_path, eeg, eeg_sr = workspace
