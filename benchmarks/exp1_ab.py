@@ -80,8 +80,13 @@ def main(workdir="/tmp/exp1_ab", reps=3, n_words=100, n_channels=64):
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
         args = list(z["args"])
+        construct_s = 0.0
     else:
+        t0 = time.perf_counter()
         args = e._construct_datasets_for_run(10)
+        construct_s = time.perf_counter() - t0
+        _emit(metric="exp1_ab_fold_construct_s", value=round(construct_s, 1),
+              unit="s (cold cache; threaded staging)")
         boxed = np.empty(len(args), dtype=object)
         for i, a in enumerate(args):
             boxed[i] = a
@@ -155,6 +160,9 @@ def main(workdir="/tmp/exp1_ab", reps=3, n_words=100, n_channels=64):
     chk = run_batched()
     first_call_s = time.perf_counter() - t0
     _emit(metric="exp1_ab_batched_first_call_s", value=round(first_call_s, 1), unit="s")
+    _emit(metric="exp1_ab_cold_start_to_first_number_s",
+          value=round(construct_s + host_staging_s + first_call_s, 1),
+          unit="s (fold construction + target staging + compile + batched arm)")
 
     # ---- sequential arm (round-1 baseline conditions) ----------------
     def run_sequential():

@@ -32,12 +32,26 @@ from ..runtime import pipeline
 
 def fold_targets(y_train_audio, n_mel=40, nb_intervals=9):
     """Fold-constant training targets (audio never shifts, exp1.py:94-99):
-    quantized labels, medians, target mean."""
+    quantized labels, medians, target mean.
+
+    Runs its jnp stages on the IN-PROCESS CPU backend: this is host-side
+    staging, and under a remote TPU relay the per-fold ~50 MB audio upload
+    for one small spectrogram dominated the cold-start wall (VERDICT r3 #6).
+    Same code, same numbers, no tunnel."""
+    import contextlib
+
     audio16 = _sig.decimate(np.asarray(y_train_audio, np.float64), 3)
-    y_spec = np.asarray(compute_spectrogram(jnp.asarray(audio16), 16000, 0.016, 0.01, n_mel))[20:-4]
-    medians, borders = quantization.compute_borders_logistic(jnp.asarray(y_spec), nb_intervals)
-    q = np.asarray(quantization.quantize(jnp.asarray(y_spec), borders)).astype(np.int32)
-    return q, np.asarray(medians), y_spec.mean(axis=1)
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:  # cpu backend not initialized in this config
+        ctx = contextlib.nullcontext()
+    with ctx:
+        y_spec = np.asarray(compute_spectrogram(
+            jnp.asarray(audio16), 16000, 0.016, 0.01, n_mel))[20:-4]
+        medians, borders = quantization.compute_borders_logistic(
+            jnp.asarray(y_spec), nb_intervals)
+        q = np.asarray(quantization.quantize(jnp.asarray(y_spec), borders)).astype(np.int32)
+        return q, np.asarray(medians), y_spec.mean(axis=1)
 
 
 def _make_one_run(train_len, test_len, n_channels, eeg_sr, norm_factor,

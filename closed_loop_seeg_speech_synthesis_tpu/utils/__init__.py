@@ -34,6 +34,12 @@ def honor_platform_env() -> None:
         return
     import jax
 
+    # keep the in-process CPU backend available alongside the selected
+    # accelerator (first entry stays the default backend): staging helpers
+    # (eval/exp1_batched.fold_targets) use it to avoid shipping large host
+    # arrays through a remote-device relay for trivially small compute
+    if "cpu" not in [p.strip() for p in plat.split(",")]:
+        plat = plat + ",cpu"
     try:
         jax.config.update("jax_platforms", plat)
     except Exception:  # backend already initialized; env var did its job
