@@ -1,0 +1,158 @@
+"""Eval-layer oracle: the reference's ``eval_steps/exp1.py`` executed verbatim.
+
+The system oracle (tests/test_reference_system_oracle.py) covers
+train+decode; this runs the layer above — the reference *experiment*
+program — unmodified: its ``Experiment1`` class, its fold construction, its
+``train_decode_worker`` (reference train + reference node-graph decode per
+fold), and its correlation distribution, on a small synthetic session.  The
+only intervention is injecting the two module GLOBALS the reference script
+sets in ``__main__`` (``config`` and ``dest_dir``, eval_steps/exp1.py:217+)
+— no source is modified.
+
+Asserted against the rebuild's eval/exp1.py on the identical session (same
+recording file, same dithered audio via a shared RNG stream):
+
+* fold dataset construction is array-identical (masks, alignment clamp,
+  test spectrograms);
+* the correlation machinery (`_extract_corrs_for_distribution`) agrees to
+  float tolerance on identical inputs;
+* the full proposed-method pipeline (reference: sequential reference folds;
+  rebuild: one lax.map program of retrained folds) lands on the same
+  per-bin correlation distribution within the models' documented ~1e-12 fit
+  difference (occasional near-tie label flips move single frames, so the
+  gate is a tight distribution comparison, not bit equality).
+"""
+
+from __future__ import annotations
+
+import configparser
+import importlib.util
+import os
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import refsys  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(refsys.REF_DIR, "eval_steps")),
+    reason="reference repo not available",
+)
+
+N_WORDS, NB_FOLDS, SEED = 8, 4, 777
+
+
+def _import_ref_exp1():
+    refsys.import_reference_system()  # stubs + legacy aliases + ref modules
+    sys.path.insert(0, refsys.REF_DIR)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_eval_exp1", os.path.join(refsys.REF_DIR, "eval_steps", "exp1.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(refsys.REF_DIR)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def eval_ab(tmp_path_factory):
+    examples_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples")
+    if examples_dir not in sys.path:
+        sys.path.insert(0, examples_dir)
+    from demo import make_synthetic_session
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval import exp1 as repo_exp1
+
+    session_dir = str(tmp_path_factory.mktemp("ref_eval_sess"))
+    rec = os.path.join(session_dir, "speech1.hdf")
+    make_synthetic_session(rec, n_words=N_WORDS, n_channels=8, seed=3)
+    # both fold constructions read only bad_channels from params.h5
+    with h5py.File(os.path.join(session_dir, "params.h5"), "w") as hf:
+        hf.create_dataset("bad_channels", data=np.array([], np.int64))
+
+    cfg = configparser.ConfigParser()
+    cfg["Experiment1"] = {"griffin_lim_norm": "10"}
+    cfg["Decoding"] = {"griffin_lim_norm": "10"}
+
+    mod = _import_ref_exp1()
+    ref_dest = str(tmp_path_factory.mktemp("ref_dest"))
+    os.makedirs(os.path.join(ref_dest, "reco_wavs"), exist_ok=True)
+    # the script-level globals __main__ would have set (exp1.py:217+)
+    mod.config = cfg
+    mod.dest_dir = ref_dest
+
+    # identical dither: the reference Session draws from GLOBAL np.random;
+    # seeding right before construction matches RandomState(SEED)'s stream
+    np.random.seed(SEED)
+    ref_e = mod.Experiment1(cfg, session_dir, ref_dest)
+
+    repo_dest = str(tmp_path_factory.mktemp("repo_dest"))
+    repo_e = repo_exp1.Experiment1(cfg, session_dir, repo_dest,
+                                   rng=np.random.RandomState(SEED))
+    assert np.array_equal(ref_e.sess.audio, repo_e.sess.audio)
+    return mod, ref_e, repo_e
+
+
+def test_fold_construction_parity(eval_ab):
+    mod, ref_e, repo_e = eval_ab
+    ref_args = ref_e._construct_datasets_for_run(nb_folds=NB_FOLDS)
+    repo_args = repo_e._construct_datasets_for_run(nb_folds=NB_FOLDS)
+    assert len(ref_args) == len(repo_args) == NB_FOLDS
+    for ra, pa in zip(ref_args, repo_args):
+        assert ra[0] == pa[0]                       # fold id
+        for i in (1, 2, 3):                         # x_train y_train x_test: exact
+            np.testing.assert_array_equal(np.asarray(ra[i]), np.asarray(pa[i]))
+        # y_test is a computed spectrogram (reference: numpy offline.py;
+        # rebuild: jnp) — float-tolerance, not bit equality
+        np.testing.assert_allclose(np.asarray(ra[4]), np.asarray(pa[4]),
+                                   rtol=1e-9, atol=1e-11)
+        assert (ra[5], ra[6], ra[8]) == (pa[5], pa[6], pa[8])
+
+
+def test_corr_distribution_machinery(eval_ab):
+    mod, ref_e, _repo_e = eval_ab
+    from closed_loop_seeg_speech_synthesis_tpu.eval.metrics import (
+        extract_corrs_for_distribution,
+    )
+
+    rng = np.random.RandomState(0)
+    orig = rng.randn(400, 40)
+    reco = orig * 0.5 + rng.randn(400, 40)
+    want_m, want_s = mod.Experiment1._extract_corrs_for_distribution(orig, reco)
+    got_m, got_s = extract_corrs_for_distribution(orig, reco, n_folds=5)
+    np.testing.assert_allclose(got_m, want_m, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-12)
+
+
+def test_proposed_method_end_to_end(eval_ab):
+    """Reference Experiment1 proposed method (sequential reference-node
+    folds) vs the rebuild's one-program batched folds on the same session."""
+    mod, ref_e, repo_e = eval_ab
+    # the reference hardcodes nb_folds=10 inside _proposed_method_train_decode;
+    # drive its own pieces at NB_FOLDS instead (same statements, small session)
+    from multiprocessing.pool import ThreadPool
+
+    ref_args = ref_e._construct_datasets_for_run(nb_folds=NB_FOLDS)
+    with ThreadPool(processes=1) as p:
+        results = p.starmap(mod.train_decode_worker, ref_args)
+    results = sorted(results, key=lambda x: x[0])
+    _ks, reco, orig, _wav = zip(*results)
+    reco_ref, orig_ref = np.vstack(reco), np.vstack(orig)
+    ref_m, ref_s = mod.Experiment1._extract_corrs_for_distribution(orig_ref, reco_ref)
+
+    repo_m, repo_s = repo_e.proposed_method(nb_folds=NB_FOLDS)
+
+    assert repo_m.shape == ref_m.shape == (40,)
+    # identical session + ~1e-12 model-fit differences: the distributions
+    # must coincide tightly (single near-tie label flips move single frames)
+    assert np.max(np.abs(repo_m - ref_m)) < 5e-3, (repo_m - ref_m)
+    assert np.max(np.abs(repo_s - ref_s)) < 5e-3
+    assert np.corrcoef(repo_m, ref_m)[0, 1] > 0.9999
+    # and the experiment actually discriminates (learnable synthetic session)
+    assert np.nanmean(ref_m) > 0.5 and np.nanmean(repo_m) > 0.5
