@@ -7,6 +7,15 @@ feature names.  Where the reference hardcodes the study patient's shaft
 names and the two bins with a missing quantization interval
 (exp4.py:33-43,70-83), we take channel names as input and read missing
 classes from the model's validity mask.
+
+Known reference quirk (exp4.py:95-100): for its missing-class bins the
+reference builds the padded inverse via ``tmp[mask, :][:, mask] = inv`` —
+a numpy chained fancy-index that assigns into a COPY, so those bins'
+activation slices are silently all-zero in the reference output.  We
+compute the proper masked inverse; the verbatim-execution oracle
+(tests/test_reference_eval_exp4_oracle.py) proves float-tolerance equality
+on the well-posed bins by emulating the quirk (the reference computes the
+class scores with a per-row matvec loop, so bit equality is not defined).
 """
 
 from __future__ import annotations
@@ -32,14 +41,24 @@ class Experiment4:
         self.session_dir = session_dir
         self.channel_names = list(channel_names)
         self.n_taps = n_taps
-        loaded = params_io.load_params(os.path.join(session_dir, "params.h5"))
+        import jax.numpy as jnp
+
+        # float64: this is host-side analysis, and sigma_s below is singular
+        # by construction (sklearn LDA coef_ spans <= k-1 dims), so its
+        # inverse amplifies precision noise by ~eps/lambda_min — f32 params
+        # would inflate the activation values by orders of magnitude
+        loaded = params_io.load_params(os.path.join(session_dir, "params.h5"),
+                                       dtype=jnp.float64)
         self.lda = loaded["lda"]
         self.select = loaded["select"]
         names = feature_names(self.channel_names, n_taps)
         self.sel_features = [f for i, f in enumerate(names) if i in set(self.select.tolist())]
         self.obs_data = np.load(os.path.join(session_dir, "training_features.npy"))
 
-    def compute_activations(self):
+    def compute_activations(self, return_all=False):
+        """Activation grid; ``return_all`` also returns the per-bin
+        activation tensor ``all_A (d, k, n_bins)`` and the averaged
+        per-feature vector (for analyses and the reference oracle)."""
         coef = np.asarray(self.lda.coef, np.float64)        # (n_bins, k, d)
         valid = np.asarray(self.lda.valid)                  # (n_bins, k)
         n_bins, k, d = coef.shape
@@ -62,6 +81,13 @@ class Experiment4:
 
         activations = np.mean(np.abs(all_A), axis=(1, 2))   # (d,)
 
+        matrix = self._scatter(activations)
+        if return_all:
+            return matrix, all_A, activations
+        return matrix
+
+    def _scatter(self, activations):
+        """Per-feature vector -> (channel, tap) grid (exp4.py:113-118)."""
         matrix = np.zeros((len(self.channel_names), self.n_taps))
         for f in self.sel_features:
             ch, tap = f.rsplit("-", 1)

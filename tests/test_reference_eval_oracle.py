@@ -48,6 +48,10 @@ N_WORDS, NB_FOLDS, SEED = 8, 4, 777
 
 def _import_ref_exp1():
     refsys.import_reference_system()  # stubs + legacy aliases + ref modules
+    import matplotlib
+
+    matplotlib.use("Agg")
+    saved = matplotlib.rcParams.copy()   # module applies ggplot style globally
     sys.path.insert(0, refsys.REF_DIR)
     try:
         spec = importlib.util.spec_from_file_location(
@@ -56,6 +60,7 @@ def _import_ref_exp1():
         spec.loader.exec_module(mod)
     finally:
         sys.path.remove(refsys.REF_DIR)
+        dict.update(matplotlib.rcParams, saved)
     return mod
 
 
