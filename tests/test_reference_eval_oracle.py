@@ -135,6 +135,33 @@ def test_corr_distribution_machinery(eval_ab):
     np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-12)
 
 
+def test_statistics_core_oracle(eval_ab):
+    """The reference's correlation statistics (local/offline.py:195-216 +
+    extract_corrs_for_distribution) executed in place vs the rebuild's
+    metrics on shared inputs — the numbers behind figure_3/figure_4's
+    Mann-Whitney inputs (figure_3.py:42,111,142)."""
+    del eval_ab  # just ensures refsys import side effects are in place
+    sys.path.insert(0, refsys.REF_DIR)
+    try:
+        from local.offline import extract_corrs_for_distribution as ref_ecd
+        from local.offline import pearson_correlation as ref_pc
+    finally:
+        sys.path.remove(refsys.REF_DIR)
+    from closed_loop_seeg_speech_synthesis_tpu.eval import metrics
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(300, 40)
+    b = 0.4 * a + rng.randn(300, 40)
+    wm, ws, wr = ref_pc(a, b, return_means=True)
+    gm, gs, gr = metrics.pearson_correlation(a, b, return_means=True)
+    np.testing.assert_allclose(gr, wr, rtol=0, atol=1e-12)
+    np.testing.assert_allclose([gm, gs], [wm, ws], rtol=0, atol=1e-12)
+    wm2, ws2 = ref_ecd(a, b)
+    gm2, gs2 = metrics.extract_corrs_for_distribution(a, b)
+    np.testing.assert_allclose(gm2, wm2, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(gs2, ws2, rtol=0, atol=1e-12)
+
+
 def test_proposed_method_end_to_end(eval_ab):
     """Reference Experiment1 proposed method (sequential reference-node
     folds) vs the rebuild's one-program batched folds on the same session."""
