@@ -162,6 +162,52 @@ def test_statistics_core_oracle(eval_ab):
     np.testing.assert_allclose(gs2, ws2, rtol=0, atol=1e-12)
 
 
+def test_exp2_dtw_warping_oracle(eval_ab):
+    """The reference's DTW warping code (eval_steps/exp2.py:24-38:
+    ``get_warping_path`` + ``dtw_warping``) executed verbatim vs the
+    rebuild's eval/dtw.py, with the DTW ENGINE held equal: the reference
+    calls third-party ``fastdtw`` with ``radius=len(query)`` — degenerate to
+    exact full-window DTW (the repo's documented equivalence,
+    eval/dtw.py:3-7) — and fastdtw-the-library is not part of the reference
+    repo, so the oracle injects the same exact-DTW engine into both sides
+    and proves the reference's OWN code (path unzipping, linear-interp
+    warping index, boundary fixup, warped gather) matches."""
+    mod, _ref_e, _repo_e = eval_ab
+    import importlib.util as _ilu
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval import dtw as repo_dtw
+
+    # inject the exact engine as `fastdtw` and (re)load the reference module
+    import types
+
+    fake = types.ModuleType("fastdtw")
+    fake.fastdtw = lambda x, y, dist=None, radius=None: repo_dtw.dtw_path(x, y)
+    orig = sys.modules.get("fastdtw")
+    sys.modules["fastdtw"] = fake
+    sys.path.insert(0, refsys.REF_DIR)
+    try:
+        spec = _ilu.spec_from_file_location(
+            "ref_eval_exp2", os.path.join(refsys.REF_DIR, "eval_steps", "exp2.py"))
+        ref2 = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(ref2)
+    finally:
+        sys.path.remove(refsys.REF_DIR)
+        if orig is not None:
+            sys.modules["fastdtw"] = orig
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        # the reference's interp1d domain requires len(reference) <= len(query)
+        # (exp2.py:27 raises otherwise) — its exp2 inputs satisfy this
+        n = rng.randint(50, 90)
+        m = rng.randint(40, n + 1)
+        reco = rng.randn(n, 40)
+        orig_spec = rng.randn(m, 40)
+        want = ref2.dtw_warping(reco, orig_spec)
+        got = repo_dtw.dtw_warping(reco, orig_spec)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_proposed_method_end_to_end(eval_ab):
     """Reference Experiment1 proposed method (sequential reference-node
     folds) vs the rebuild's one-program batched folds on the same session."""

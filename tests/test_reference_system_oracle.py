@@ -205,6 +205,53 @@ def test_decode_writes_replayable_seeg(sys_ab):
     assert np.array_equal(s["seeg_ref"], s["eeg"])
 
 
+def test_system_parity_2048hz(tmp_path):
+    """The composed system at the SECOND amplifier rate: the reference's own
+    exp2 drives ``perform_offline_decoding(..., sfreq=2048, ...)``
+    (eval_steps/exp2.py:56), so 2048 Hz is a supported composed path — run
+    it verbatim on a 30 s session and assert the same gates as 1024 Hz:
+    spectrograms bit-equal, exact-host audio byte-equal."""
+    import jax.numpy as jnp
+
+    from closed_loop_seeg_speech_synthesis_tpu.ops.host_vocoder import (
+        decode_audio_exact,
+    )
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import pipeline, trainer
+
+    ref = refsys.import_reference_system()
+    eeg, audio = refsys.synth_session(seconds=30.0, eeg_sr=2048,
+                                      audio_sr=AUDIO_SR, n_channels=4)
+    res = trainer.train(eeg, audio, 2048.0, float(AUDIO_SR), [],
+                        dtype=jnp.float64)
+
+    import pickle as _pickle
+
+    blob = _pickle.dumps(
+        __import__("closed_loop_seeg_speech_synthesis_tpu.models.lda",
+                   fromlist=["to_sklearn_estimators"]).to_sklearn_estimators(res.lda))
+    rows = refsys.deterministic_rand_rows(3300)
+    undo = refsys.install_np_rand_rows(rows)
+    try:
+        spec_ref, audio_ref, _, _ = ref.decode.perform_offline_decoding(
+            (blob, res.medians, np.array([], int), res.select), eeg.copy(),
+            2048, 10)
+    finally:
+        undo()
+
+    cfg = pipeline.DecoderConfig(sr=2048.0, n_channels=eeg.shape[1],
+                                 packet_size=64, dtype=jnp.float64,
+                                 use_pallas_gl=False, use_pallas_frontend=False)
+    dec = pipeline.build_decoder_params(cfg, res.lda, res.medians, res.select)
+    spec, _ = pipeline.offline_decode(dec, cfg, eeg,
+                                      rand_init=rows[: spec_ref.shape[0] - 1])
+    spec = np.asarray(spec)
+    assert spec.shape == spec_ref.shape
+    assert np.array_equal(spec, np.asarray(spec_ref))
+
+    got = decode_audio_exact(spec, rows, norm_factor=10.0)
+    assert np.array_equal(got, np.asarray(audio_ref))
+
+
 def test_line_noise_60_feature_chain(sys_ab):
     """60 Hz US chain vs the reference's executing herff2016_b.  The
     composed reference programs hardcode 50 Hz (train.py:122,
