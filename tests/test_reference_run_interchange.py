@@ -1,0 +1,229 @@
+"""Artifact-interchange oracle: reference TOOLING consumes repo-produced runs.
+
+The system oracle (tests/test_reference_system_oracle.py) proves the numeric
+halves of the interchange contract (params.h5 both directions, decoded audio
+parity).  This closes the remaining half — the *artifact directories*:
+
+* a decode run dir written by the rebuild's writers (`cli/decode.py:
+  store_decoding_to_file` plus the online marker-logger row format of
+  `runtime/online.py:read_markers`, whose live output tests/
+  test_online_loopback.py already exercises) is loaded by the REFERENCE's own
+  `local/data_loader.DecodingRun` (data_loader.py:253-325) and processed by
+  the reference's `eval_steps/extract_trials.py` executed verbatim
+  (extract_trials.py:27-47), and every extracted trial is identical to what
+  the rebuild's twins (io/session.py, eval/figures.py) extract;
+* a training session dir written by `io/loaders.save_hdf5` is loaded by the
+  reference's `Session` (data_loader.py:196-251) with identical trials.
+
+If the reference's post-hoc analysis stack runs unmodified on directories the
+rebuild produced, a user can mix tools from both systems freely.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import refsys  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(refsys.REF_DIR, "eval_steps")),
+    reason="reference repo not available",
+)
+
+T0 = 1000.0  # stream first-timestamp (arbitrary epoch, as LSL clocks are)
+# (monotonic offset, label): two trials, one on an uneven offset so the
+# round-to-10ms path (data_loader.py:277) is exercised.
+MARKER_ROWS = [
+    (0.1, "experimentStarted"),
+    (0.5, "start;avond"),
+    (2.5, "end;avond"),
+    (3.5177, "start;gevaar"),
+    (5.5177, "end;gevaar"),
+    (7.9, "experimentEnded"),
+]
+
+
+def _ref_modules():
+    refsys.import_reference_system()
+    return sys.modules["local.data_loader"]
+
+
+def _import_ref_extract_trials():
+    _ref_modules()  # stubs + local.data_loader in sys.modules
+    spec = importlib.util.spec_from_file_location(
+        "ref_extract_trials",
+        os.path.join(refsys.REF_DIR, "eval_steps", "extract_trials.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def repo_run_dir(tmp_path_factory):
+    """A decode run dir produced by the rebuild's real writers."""
+    import configparser
+
+    import jax.numpy as jnp
+
+    from closed_loop_seeg_speech_synthesis_tpu.cli import decode as decode_cli
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import params as params_io, trainer
+
+    tmp = tmp_path_factory.mktemp("interchange")
+    rng = np.random.RandomState(17)
+    eeg_sr, audio_sr = 1024, 48000
+    eeg = rng.randn(8 * eeg_sr, 4)
+    t = np.arange(8 * audio_sr) / audio_sr
+    audio = 0.3 * np.sin(2 * np.pi * 180 * t)
+    res = trainer.train(eeg, audio, eeg_sr, audio_sr, bad_channels=[1], nb_feats=12)
+    sess_dir = tmp / "sess"
+    sess_dir.mkdir()
+    params_io.store_training(str(sess_dir), res, bad_channels=[1])
+    loaded = params_io.load_params(os.path.join(sess_dir, "params.h5"), dtype=jnp.float64)
+
+    spec, out_audio, received, sr = decode_cli.perform_offline_decoding(loaded, eeg, eeg_sr, 10)
+    run_dir = tmp / "run_001"
+    run_dir.mkdir()
+    cfg = configparser.ConfigParser()
+    cfg["General"] = {"storage_dir": str(tmp), "session": "run_001"}
+    decode_cli.store_decoding_to_file(str(run_dir), cfg, spec, out_audio, received, sr)
+
+    # first_timestamp + markers.csv in the online writers' exact formats
+    # (runtime/online.py:498-511 writes "walltime,stream_ts,label" rows; the
+    # live writer itself is exercised by tests/test_online_loopback.py).
+    np.save(run_dir / "first_timestamp.npy", np.float64(T0))
+    with open(run_dir / "markers.csv", "w") as f:
+        for off, label in MARKER_ROWS:
+            f.write(f"2026-08-19 12:00:{off:09.6f},{T0 + off!r},{label}\n")
+    return str(run_dir)
+
+
+def test_reference_decodingrun_reads_repo_run(repo_run_dir):
+    """Reference DecodingRun (data_loader.py:253-325) on a repo-written run
+    extracts trials identical to the rebuild's io/session.DecodingRun."""
+    ref_dl = _ref_modules()
+    from closed_loop_seeg_speech_synthesis_tpu.io.session import DecodingRun
+
+    ref = ref_dl.DecodingRun(repo_run_dir)
+    ours = DecodingRun(repo_run_dir)
+
+    assert ref.words == ours.words == ["avond", "gevaar"]
+    np.testing.assert_array_equal(ref.trial_starts_in_sec, ours.trial_starts_in_sec)
+    np.testing.assert_array_equal(ref.trial_starts_in_sec, [0.5, 3.52])
+    assert int(ref.audio_sr) == int(ours.audio_sr) == 16000
+    assert int(ref.eeg_sr) == int(ours.eeg_sr) == 1024
+    np.testing.assert_array_equal(ref.audio, ours.audio)
+    np.testing.assert_array_equal(ref.eeg, ours.eeg)
+    np.testing.assert_array_equal(ref.word_starts_indices_audio, ours.word_starts_indices_audio)
+    np.testing.assert_array_equal(ref.word_starts_indices_eeg, ours.word_starts_indices_eeg)
+
+    for i in range(len(ref.words)):
+        for rest in (False, True):
+            w_r, e_r, a_r = ref.get_trial_by_index(i, include_rest=rest)
+            w_o, e_o, a_o = ours.get_trial_by_index(i, include_rest=rest)
+            assert w_r == w_o
+            np.testing.assert_array_equal(e_r, e_o)
+            np.testing.assert_array_equal(a_r, a_o)
+            assert a_r.size == (3 if rest else 2) * 16000  # inside the audio
+
+
+def test_reference_extract_trials_on_repo_run(repo_run_dir, tmp_path):
+    """eval_steps/extract_trials.py verbatim on the repo-written run produces
+    byte-identical per-trial wavs and an equivalent .lab to the rebuild's
+    eval/figures twins."""
+    ref_et = _import_ref_extract_trials()
+    from closed_loop_seeg_speech_synthesis_tpu.eval import figures
+
+    ref_out, repo_out = tmp_path / "ref", tmp_path / "repo"
+    ref_out.mkdir(), repo_out.mkdir()
+    ref_et.extract_wavs_from_decoding_trials(run_dir=repo_run_dir, temp_dir=str(ref_out))
+    ref_et.generate_trial_label_file(run_dir=repo_run_dir, temp_dir=str(ref_out))
+    figures.extract_wavs_from_decoding_trials(repo_run_dir, str(repo_out))
+    figures.generate_trial_label_file(repo_run_dir, str(repo_out))
+
+    name = os.path.basename(repo_run_dir)
+    ref_wavs = sorted(os.listdir(ref_out / f"{name}_wavs"))
+    repo_wavs = sorted(os.listdir(repo_out / f"{name}_wavs"))
+    assert ref_wavs == repo_wavs == ["001-avond.wav", "002-gevaar.wav"]
+    for f in ref_wavs:
+        rb = (ref_out / f"{name}_wavs" / f).read_bytes()
+        ob = (repo_out / f"{name}_wavs" / f).read_bytes()
+        assert rb == ob, f"wav bytes differ for {f}"
+
+    # .lab parity: parse fields (pandas vs str() float formatting could in
+    # principle differ in repr, so compare values, not bytes)
+    def parse(p):
+        rows = []
+        for line in p.read_text().strip().splitlines():
+            s, e, w = line.split("\t")
+            rows.append((float(s), float(e), w))
+        return rows
+
+    ref_rows = parse(ref_out / f"{name}_trials.lab")
+    repo_rows = parse(repo_out / f"{name}_trials.lab")
+    assert ref_rows == repo_rows
+    assert [w for _, _, w in ref_rows] == ["avond", "gevaar"]
+
+
+def test_reference_session_reads_repo_session(tmp_path):
+    """Reference Session (data_loader.py:196-251) on a save_hdf5-written
+    training dir: identical trials + byte-identical extract_wavs output."""
+    from closed_loop_seeg_speech_synthesis_tpu.io import loaders
+    from closed_loop_seeg_speech_synthesis_tpu.io.session import Session
+
+    ref_dl = _ref_modules()
+    ref_et = _import_ref_extract_trials()
+
+    rng = np.random.RandomState(3)
+    eeg_sr, audio_sr, n_words = 1024, 48000, 3
+    secs = 3 * n_words + 1
+    eeg = rng.randn(secs * eeg_sr, 4)
+    audio = 0.1 * rng.randn(secs * audio_sr)
+    words = ["avond", "gevaar", "woord"]
+    markers = [["experimentStarted"]]
+    for w in words:
+        markers += [[f"start;{w}"], [f"end;{w}"]]
+    markers += [["experimentEnded"]]
+    sess_dir = tmp_path / "sessdir"
+    sess_dir.mkdir()
+    loaders.save_hdf5(str(sess_dir / "speech1.hdf"), eeg, eeg_sr, audio, audio_sr,
+                      ch_names=[f"A{i}" for i in range(4)], markers=markers)
+
+    # both constructors dither with np.random.normal; equalize the stream
+    np.random.seed(99)
+    ref = ref_dl.Session(str(sess_dir))
+    np.random.seed(99)
+    ours = Session(str(sess_dir))
+
+    assert ref.words == ours.words == words
+    assert int(ref.eeg_sr) == int(ours.eeg_sr) == eeg_sr
+    assert int(ref.audio_sr) == int(ours.audio_sr) == 16000
+    np.testing.assert_array_equal(ref.audio, ours.audio)
+    np.testing.assert_array_equal(ref.eeg, ours.eeg)
+    for i in range(n_words):
+        w_r, e_r, a_r = ref.get_trial_by_index(i, include_rest=True)
+        w_o, e_o, a_o = ours.get_trial_by_index(i, include_rest=True)
+        assert w_r == w_o
+        np.testing.assert_array_equal(e_r, e_o)
+        np.testing.assert_array_equal(a_r, a_o)
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval import figures
+
+    ref_out, repo_out = tmp_path / "ref_sess", tmp_path / "repo_sess"
+    ref_out.mkdir(), repo_out.mkdir()
+    np.random.seed(99)
+    ref_et.extract_wavs_from_session(session_dir=str(sess_dir), temp_dir=str(ref_out))
+    np.random.seed(99)
+    figures.extract_wavs_from_session(str(sess_dir), str(repo_out))
+    ref_wavs = sorted(os.listdir(ref_out / "train_wavs"))
+    repo_wavs = sorted(os.listdir(repo_out / "train_wavs"))
+    assert ref_wavs == repo_wavs == ["001-avond.wav", "002-gevaar.wav", "003-woord.wav"]
+    for f in ref_wavs:
+        assert (ref_out / "train_wavs" / f).read_bytes() == \
+            (repo_out / "train_wavs" / f).read_bytes(), f"wav bytes differ for {f}"
