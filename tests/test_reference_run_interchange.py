@@ -171,6 +171,48 @@ def test_reference_extract_trials_on_repo_run(repo_run_dir, tmp_path):
     assert [w for _, _, w in ref_rows] == ["avond", "gevaar"]
 
 
+def test_reference_exp3_verbatim_on_repo_run(repo_run_dir, tmp_path):
+    """The reference's Experiment3 (eval_steps/exp3.py:18-68) executed
+    verbatim on the repo-written run dir: speech-amount numbers exactly equal
+    to the rebuild's eval/exp3.py (dither stream held equal) and byte-equal
+    VAD .lab exports."""
+    import configparser
+
+    _ref_modules()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    spec = importlib.util.spec_from_file_location(
+        "ref_exp3", os.path.join(refsys.REF_DIR, "eval_steps", "exp3.py"))
+    ref_exp3 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_exp3)
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval.exp3 import Experiment3
+
+    cfg = configparser.ConfigParser()
+    cfg["Experiment3"] = {  # reference config/evaluation.ini values
+        "vad_energy_threshold": "0.5", "vad_energy_mean_scale": "1",
+        "vad_frames_context": "5", "vad_proportion_threshold": "0.6",
+    }
+
+    np.random.seed(7)
+    ref = ref_exp3.Experiment3(cfg, repo_run_dir)
+    ref_trials, ref_rest = ref.run()
+
+    np.random.seed(7)
+    ours = Experiment3(cfg, repo_run_dir, rng=np.random)
+    our_trials, our_rest = ours.run()
+
+    assert (ref_trials, ref_rest) == (our_trials, our_rest)
+    np.testing.assert_array_equal(ref.vad_mask, ours.vad_mask)
+    assert ref_trials + ref_rest > 0  # the decode produced audible energy
+
+    ref_lab, our_lab = tmp_path / "ref_run.lab", tmp_path / "our_run.lab"
+    ref.vad.convert_vad_to_lab(str(ref_lab), ref.vad_mask)
+    ours.export_lab(str(our_lab))
+    assert ref_lab.read_bytes() == our_lab.read_bytes()
+
+
 def test_reference_session_reads_repo_session(tmp_path):
     """Reference Session (data_loader.py:196-251) on a save_hdf5-written
     training dir: identical trials + byte-identical extract_wavs output."""
