@@ -67,12 +67,16 @@ def _import_ref_extract_trials():
 
 @pytest.fixture(scope="module")
 def repo_run_dir(tmp_path_factory):
-    """A decode run dir produced by the rebuild's real writers."""
+    """A decode run dir produced by the rebuild's real writers, next to a
+    session dir holding the training artifacts, the session recording
+    (speech1.hdf) and one other-task XDF — everything the reference's
+    post-hoc tooling expects of a session tree."""
     import configparser
 
     import jax.numpy as jnp
 
     from closed_loop_seeg_speech_synthesis_tpu.cli import decode as decode_cli
+    from closed_loop_seeg_speech_synthesis_tpu.io import loaders
     from closed_loop_seeg_speech_synthesis_tpu.runtime import params as params_io, trainer
 
     tmp = tmp_path_factory.mktemp("interchange")
@@ -86,6 +90,21 @@ def repo_run_dir(tmp_path_factory):
     sess_dir.mkdir()
     params_io.store_training(str(sess_dir), res, bad_channels=[1])
     loaded = params_io.load_params(os.path.join(sess_dir, "params.h5"), dtype=jnp.float64)
+
+    # the session recording (words on the fixed 3 s grid Session assumes)
+    sess_markers = [["experimentStarted"], ["start;avond"], ["end;avond"],
+                    ["start;gevaar"], ["end;gevaar"], ["experimentEnded"]]
+    loaders.save_hdf5(str(sess_dir / "speech1.hdf"), eeg, eeg_sr, audio, audio_sr,
+                      ch_names=[f"A{i}" for i in range(4)], markers=sess_markers)
+
+    # one other-task recording (for exp2's chance-segment pool)
+    from test_io import write_test_xdf
+
+    ot_eeg = rng.randn(4 * eeg_sr, 4).astype(np.float32)
+    ot_audio = (0.1 * rng.randn(4 * audio_sr)).astype(np.float32)
+    ot_markers = [(100.2, "experimentStarted"), (103.8, "experimentEnded")]
+    write_test_xdf(str(sess_dir / "othertask.xdf"), ot_eeg, eeg_sr, ot_audio,
+                   audio_sr, ot_markers, [f"A{i}" for i in range(4)])
 
     spec, out_audio, received, sr = decode_cli.perform_offline_decoding(loaded, eeg, eeg_sr, 10)
     run_dir = tmp / "run_001"
@@ -211,6 +230,66 @@ def test_reference_exp3_verbatim_on_repo_run(repo_run_dir, tmp_path):
     ref.vad.convert_vad_to_lab(str(ref_lab), ref.vad_mask)
     ours.export_lab(str(our_lab))
     assert ref_lab.read_bytes() == our_lab.read_bytes()
+
+
+def test_reference_exp2_verbatim_on_repo_run(repo_run_dir):
+    """The reference's Experiment_2 (eval_steps/exp2.py:65-134) executed
+    verbatim on the repo-produced session tree: the constructor consumes the
+    repo's run dir, session recording AND other-task XDF (reference pyxdf
+    parser vs the rebuild's fresh parser on the same file), and the
+    matched-trials DTW correlations equal the rebuild's eval/exp2.py.
+
+    The DTW engine is held equal as in test_reference_eval_oracle.py
+    (fastdtw at radius=len(query) degenerates to exact full-window DTW; the
+    third-party library is not reference code).  The chance path is not
+    A/B'd here: reference chance_level_worker hardcodes sfreq=2048
+    (exp2.py:55) while the rebuild uses the run's true rate; the worker's
+    ingredients (params-tuple decode, dtw_warping, pearson_correlation) are
+    each oracled elsewhere."""
+    import configparser
+    import types
+
+    _ref_modules()
+    from closed_loop_seeg_speech_synthesis_tpu.eval import dtw as repo_dtw
+    from closed_loop_seeg_speech_synthesis_tpu.eval.exp2 import Experiment2
+
+    fake = types.ModuleType("fastdtw")
+    fake.fastdtw = lambda x, y, dist=None, radius=None: repo_dtw.dtw_path(x, y)
+    orig_fd = sys.modules.get("fastdtw")
+    sys.modules["fastdtw"] = fake
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_exp2_full", os.path.join(refsys.REF_DIR, "eval_steps", "exp2.py"))
+        ref_exp2 = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_exp2)
+    finally:
+        if orig_fd is not None:
+            sys.modules["fastdtw"] = orig_fd
+
+    sess_dir = os.path.join(os.path.dirname(repo_run_dir), "sess")
+    cfg = configparser.ConfigParser()
+    cfg["Experiment2"] = {"griffin_lim_norm": "10"}
+
+    np.random.seed(5)
+    ref = ref_exp2.Experiment_2(cfg, sess_dir, repo_run_dir,
+                                other_tasks=["othertask.xdf"], dest_dir=sess_dir)
+    np.random.seed(5)
+    ours = Experiment2(cfg, sess_dir, repo_run_dir,
+                       other_tasks=["othertask.xdf"], dest_dir=sess_dir,
+                       rng=np.random)
+
+    # constructor parity: same dithered session audio, and the reference's
+    # vendored-pyxdf other-task loader and the rebuild's fresh parser agree
+    # on the repo-written XDF
+    np.testing.assert_array_equal(ref.sess.audio, ours.sess.audio)
+    np.testing.assert_array_equal(ref.other_tasks_eeg, ours.other_tasks_eeg)
+
+    ref_corrs = ref._compute_correlation_of_matching_trials()
+    our_corrs = ours.matching_trials()
+    assert len(ref_corrs) == len(our_corrs) == 2
+    np.testing.assert_allclose(sorted(our_corrs), sorted(ref_corrs),
+                               rtol=0, atol=1e-9)
+    assert all(-1.0 <= c <= 1.0 for c in ref_corrs)
 
 
 def test_reference_session_reads_repo_session(tmp_path):
