@@ -6,15 +6,25 @@ import numpy as np
 
 
 def pearson_per_bin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pearson r per column. a, b: (T, n_bins)."""
+    """Pearson r per column. a, b: (T, n_bins).
+
+    Matches scipy.stats.pearsonr's constant-input semantics (which the
+    reference uses per bin, offline.py:207): an exactly-constant column in
+    either input yields NaN even when the centered denominator rounds to a
+    nonzero ~1e-13 — this is load-bearing for exp2, where a chance decode
+    whose LDA predicts one class for every frame produces exactly-constant
+    spectrogram bins and the reference then drops that run as NaN."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
+    const = np.all(a == a[:1], axis=0) | np.all(b == b[:1], axis=0)
     ac = a - a.mean(axis=0)
     bc = b - b.mean(axis=0)
     num = (ac * bc).sum(axis=0)
     den = np.sqrt((ac * ac).sum(axis=0) * (bc * bc).sum(axis=0))
     with np.errstate(invalid="ignore", divide="ignore"):
-        return num / den
+        r = num / den
+    r[const] = np.nan
+    return r
 
 
 def pearson_correlation(spec1, spec2, return_means=False):

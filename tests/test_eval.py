@@ -167,3 +167,28 @@ def test_exp3_mini(mini_session, tmp_path):
     in_trials, in_rest = results["whisper"]
     assert in_trials >= 0 and in_rest >= 0
     assert (tmp_path / "exp3" / "whisper_run.lab").exists()
+
+
+def test_pearson_constant_input_matches_scipy():
+    """pearson_per_bin replicates scipy.stats.pearsonr's constant-input
+    semantics (NaN, offline.py:207 behavior): an exactly-constant column
+    must not leak a finite ~1e-15 ratio from a denominator that rounds to
+    nonzero.  Load-bearing for exp2 chance runs (reference drops them)."""
+    import warnings
+
+    from scipy.stats import pearsonr
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval.metrics import pearson_per_bin
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(50, 4)
+    b = rng.randn(50, 4)
+    a[:, 1] = 2.3371  # constant column whose centered sum-of-squares
+    b[:, 2] = -0.875  # rounds to a tiny nonzero value
+    got = pearson_per_bin(a, b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = np.array([pearsonr(a[:, i], b[:, i])[0] for i in range(4)])
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12, equal_nan=True)
+    assert np.isnan(got[1]) and np.isnan(got[2])

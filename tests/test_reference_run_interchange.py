@@ -292,6 +292,115 @@ def test_reference_exp2_verbatim_on_repo_run(repo_run_dir):
     assert all(-1.0 <= c <= 1.0 for c in ref_corrs)
 
 
+@pytest.fixture(scope="module")
+def repo_session_2048(tmp_path_factory):
+    """A session tree at the 2048 Hz operating point — the rate at which the
+    reference's exp2 chance worker (exp2.py:55, hardcoded sfreq=2048) is
+    self-consistent, so the chance path can be A/B'd exactly."""
+    import configparser
+
+    import jax.numpy as jnp
+
+    from closed_loop_seeg_speech_synthesis_tpu.cli import decode as decode_cli
+    from closed_loop_seeg_speech_synthesis_tpu.io import loaders
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import params as params_io, trainer
+    from test_io import write_test_xdf
+
+    tmp = tmp_path_factory.mktemp("interchange2048")
+    rng = np.random.RandomState(23)
+    eeg_sr, audio_sr = 2048, 48000
+    eeg = rng.randn(8 * eeg_sr, 4)
+    t = np.arange(8 * audio_sr) / audio_sr
+    audio = 0.3 * np.sin(2 * np.pi * 180 * t)
+    res = trainer.train(eeg, audio, eeg_sr, audio_sr, bad_channels=[1], nb_feats=12)
+    sess_dir = tmp / "sess"
+    sess_dir.mkdir()
+    params_io.store_training(str(sess_dir), res, bad_channels=[1])
+    loaded = params_io.load_params(os.path.join(sess_dir, "params.h5"), dtype=jnp.float64)
+
+    sess_markers = [["experimentStarted"], ["start;avond"], ["end;avond"],
+                    ["start;gevaar"], ["end;gevaar"], ["experimentEnded"]]
+    loaders.save_hdf5(str(sess_dir / "speech1.hdf"), eeg, eeg_sr, audio, audio_sr,
+                      ch_names=[f"A{i}" for i in range(4)], markers=sess_markers)
+
+    ot_eeg = rng.randn(5 * eeg_sr, 4).astype(np.float32)
+    ot_audio = (0.1 * rng.randn(5 * audio_sr)).astype(np.float32)
+    write_test_xdf(str(sess_dir / "othertask.xdf"), ot_eeg, eeg_sr, ot_audio,
+                   audio_sr, [(100.2, "experimentStarted"), (104.8, "experimentEnded")],
+                   [f"A{i}" for i in range(4)])
+
+    spec, out_audio, received, sr = decode_cli.perform_offline_decoding(loaded, eeg, eeg_sr, 10)
+    run_dir = tmp / "run_2048"
+    run_dir.mkdir()
+    cfg = configparser.ConfigParser()
+    cfg["General"] = {"storage_dir": str(tmp), "session": "run_2048"}
+    decode_cli.store_decoding_to_file(str(run_dir), cfg, spec, out_audio, received, sr)
+    np.save(run_dir / "first_timestamp.npy", np.float64(T0))
+    with open(run_dir / "markers.csv", "w") as f:
+        for off, label in MARKER_ROWS:
+            f.write(f"2026-08-19 12:00:{off:09.6f},{T0 + off!r},{label}\n")
+    return str(sess_dir), str(run_dir)
+
+
+def test_reference_exp2_chance_verbatim_2048(repo_session_2048):
+    """The reference's full exp2 chance protocol (_estimate_chance_level +
+    chance_level_worker, exp2.py:41-62,92-113) executed verbatim at 2048 Hz
+    (where its hardcoded sfreq is self-consistent) on the repo session tree:
+    params-tuple loading from the repo-written params.h5, random other-task
+    cutoffs, word cycling, node-graph decode, DTW scoring — chance
+    correlations equal the rebuild's Experiment2.chance_level to 1e-9 (the
+    decoded spectrogram is pre-vocoder, so GL phase RNG cannot differ)."""
+    import configparser
+    import types
+
+    _ref_modules()
+    from closed_loop_seeg_speech_synthesis_tpu.eval import dtw as repo_dtw
+    from closed_loop_seeg_speech_synthesis_tpu.eval.exp2 import Experiment2
+
+    sess_dir, run_dir = repo_session_2048
+    fake = types.ModuleType("fastdtw")
+    fake.fastdtw = lambda x, y, dist=None, radius=None: repo_dtw.dtw_path(x, y)
+    orig_fd = sys.modules.get("fastdtw")
+    sys.modules["fastdtw"] = fake
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_exp2_chance", os.path.join(refsys.REF_DIR, "eval_steps", "exp2.py"))
+        ref_exp2 = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_exp2)
+    finally:
+        if orig_fd is not None:
+            sys.modules["fastdtw"] = orig_fd
+
+    cfg = configparser.ConfigParser()
+    cfg["Experiment2"] = {"griffin_lim_norm": "10"}
+    cfg["General"] = {"storage_dir": os.path.dirname(sess_dir),
+                      "session": os.path.basename(sess_dir)}
+    ref_exp2.config = cfg  # the module global __main__ would have set
+
+    RUNS = 3
+    np.random.seed(13)
+    ref = ref_exp2.Experiment_2(cfg, sess_dir, run_dir,
+                                other_tasks=["othertask.xdf"], dest_dir=sess_dir)
+    ref_chance = ref._estimate_chance_level(runs=RUNS)
+
+    np.random.seed(13)
+    ours = Experiment2(cfg, sess_dir, run_dir,
+                       other_tasks=["othertask.xdf"], dest_dir=sess_dir,
+                       rng=np.random)
+    our_chance = ours.chance_level(runs=RUNS)
+
+    assert ref_chance.shape == our_chance.shape == (RUNS,)
+    # NaN chance runs are the reference's own semantic: a chance decode whose
+    # LDA pins some bin to one class for every frame yields an
+    # exactly-constant spectrogram column, scipy's pearsonr returns NaN for
+    # it, and Experiment_2.run() drops the run.  The rebuild must reproduce
+    # the NaN pattern, not paper over it with a finite ~1e-15 ratio (the bug
+    # this oracle caught in eval/metrics.pearson_per_bin).
+    np.testing.assert_array_equal(np.isnan(ref_chance), np.isnan(our_chance))
+    np.testing.assert_allclose(our_chance, ref_chance, rtol=0, atol=1e-9,
+                               equal_nan=True)
+
+
 def test_reference_session_reads_repo_session(tmp_path):
     """Reference Session (data_loader.py:196-251) on a save_hdf5-written
     training dir: identical trials + byte-identical extract_wavs output."""
