@@ -1,0 +1,190 @@
+"""The reference's FULL exp1 protocol at its own experimental scale.
+
+The reference's headline statistic is a per-bin Pearson distribution of the
+proposed method vs a chance distribution estimated from **100** randomized
+retrain+decode repeats of all 10 CV folds (eval_steps/exp1.py:94-99,133-160,
+default ``nb_runs=100``; consumed by figure_3.py:120-136).  Every prior
+recorded run clamped ``nb_runs`` to 2-3; this script executes the protocol in
+full on the TPU — 100 runs x 10 folds = 1000 retrain+decode programs through
+``Experiment1.chance_level_batched`` — and saves the reference's complete
+artifact set (``pm_reco.npy``, ``orig.npy``, ``rc_reco_i=001..100.npy``,
+``reco_wavs/``) so the reference's own ``figure_3.py`` can run verbatim on it
+(tests/test_reference_figures_oracle.py does at CI scale; pass
+``--ref-figure`` to run it here at protocol scale).
+
+Recorded numbers (per phase, one JSON line each):
+* proposed 10-fold wall + per-fold quality,
+* chance-protocol wall (+ staging decomposition), per-run mean r
+  distribution, and the wall vs the measured sequential arm extrapolated
+  x100 (439.5 s/10-fold min-of-3, BENCHMARKS.md round 3 — the workload
+  SURVEY §7 step 6 says the TPU batching exists for).
+
+Run:  python benchmarks/exp1_protocol.py [workdir] [n_channels] [nb_runs]
+"""
+
+from __future__ import annotations
+
+import configparser
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "examples"))
+
+# measured sequential 10-fold arm (min-of-3, interleaved A/B, 64 ch,
+# BENCHMARKS.md "Contention-proof batched-vs-sequential A/B"); the chance
+# protocol repeats that arm nb_runs times in the reference architecture
+SEQUENTIAL_10FOLD_S = 439.5
+
+
+def main(workdir="/tmp/exp1_protocol", n_channels=128, nb_runs=100,
+         ref_figure=False):
+    from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
+    honor_platform_env()
+    n_channels, nb_runs = int(n_channels), int(nb_runs)
+
+    from demo import make_synthetic_session
+
+    from closed_loop_seeg_speech_synthesis_tpu.eval import exp1 as exp1_mod
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import params as params_io
+    from closed_loop_seeg_speech_synthesis_tpu.runtime import trainer
+
+    os.makedirs(workdir, exist_ok=True)
+    rec = os.path.join(workdir, "speech1.hdf")
+    if not os.path.exists(rec):
+        make_synthetic_session(rec, n_words=100, n_channels=n_channels)
+    if not os.path.exists(os.path.join(workdir, "params.h5")):
+        import h5py
+
+        with h5py.File(rec) as hf:
+            eeg, audio = hf["sEEG"][:], hf["Audio"][:]
+            eeg_sr, audio_sr = int(hf["sEEG_sr"][()]), int(hf["Audio_sr"][()])
+        t0 = time.perf_counter()
+        res = trainer.train(eeg, audio, eeg_sr, audio_sr, bad_channels=[])
+        params_io.store_training(workdir, res, bad_channels=[])
+        print(json.dumps({"metric": "exp1_protocol_train_s",
+                          "value": round(time.perf_counter() - t0, 1),
+                          "unit": "s"}), flush=True)
+
+    cfg = configparser.ConfigParser()
+    cfg["Experiment1"] = {"griffin_lim_norm": "10"}
+    dest_root = os.path.join(workdir, "eval_protocol")
+    exp1_dir = os.path.join(dest_root, "exp1")
+    os.makedirs(exp1_dir, exist_ok=True)
+    e = exp1_mod.Experiment1(cfg, workdir, exp1_dir, rng=np.random.RandomState(0))
+
+    # one staging pass shared by both phases (host-side; the protocol's RNG
+    # stream only draws the per-(run,fold) circular shifts, exp1.py:94-99)
+    t0 = time.perf_counter()
+    fold_args = e._construct_datasets_for_run(10)
+    staging_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pm_mean, _pm_std = e.proposed_method(args=fold_args)
+    t_prop = time.perf_counter() - t0
+    reco = np.load(os.path.join(exp1_dir, "pm_reco.npy"))
+    orig = np.load(os.path.join(exp1_dir, "orig.npy"))
+    frames_per_fold = len(reco) // 10
+    fold_rs = []
+    for f in range(10):
+        o = orig[f * frames_per_fold : (f + 1) * frames_per_fold]
+        r = reco[f * frames_per_fold : (f + 1) * frames_per_fold]
+        rs = [np.corrcoef(o[:, b], r[:, b])[0, 1] for b in range(o.shape[1])]
+        fold_rs.append(float(np.nanmean(rs)))
+    print(json.dumps({"metric": "exp1_protocol_proposed_10fold_s",
+                      "value": round(t_prop, 1), "unit": "s",
+                      "staging_s": round(staging_s, 1),
+                      "mean_r": round(float(np.mean(pm_mean)), 3),
+                      "per_fold_r": [round(r, 3) for r in fold_rs],
+                      "n_channels": n_channels}), flush=True)
+    assert min(fold_rs) > 0.5, f"fold-level decode quality collapse: {fold_rs}"
+
+    # ---- THE protocol: nb_runs randomized retrain+decode repeats ---------
+    t0 = time.perf_counter()
+    rc_mean, rc_std = e.chance_level_batched(nb_runs=nb_runs, save=True,
+                                             base_args=fold_args)
+    t_chance = time.perf_counter() - t0
+
+    # per-run quality: mean per-bin r of each saved rc_reco vs orig (the
+    # whole point of randomization is that every run sits at ~0)
+    from closed_loop_seeg_speech_synthesis_tpu.eval.metrics import pearson_correlation
+
+    per_run = []
+    n = None
+    for i in range(1, nb_runs + 1):
+        rc = np.load(os.path.join(exp1_dir, f"rc_reco_i={i:03}.npy"))
+        n = min(len(rc), len(orig))
+        per_run.append(float(pearson_correlation(orig[:n], rc[:n])[0]))
+    per_run = np.asarray(per_run)
+    seq_extrapolated = SEQUENTIAL_10FOLD_S * nb_runs
+    print(json.dumps({
+        "metric": f"exp1_protocol_chance_{nb_runs}x10fold_s",
+        "value": round(t_chance, 1), "unit": "s",
+        "n_channels": n_channels, "nb_runs": nb_runs,
+        "retrain_decode_programs": nb_runs * 10,
+        "chance_mean_r": round(float(np.mean(rc_mean)), 4),
+        "chance_std_r": round(float(np.mean(rc_std)), 4),
+        "per_run_mean_r_min": round(float(per_run.min()), 4),
+        "per_run_mean_r_max": round(float(per_run.max()), 4),
+        "per_run_mean_r_median": round(float(np.median(per_run)), 4),
+        "sequential_arm_extrapolated_s": seq_extrapolated,
+        "vs_sequential_extrapolation": round(seq_extrapolated / t_chance, 1),
+        "artifacts": exp1_dir,
+    }), flush=True)
+    assert abs(np.median(per_run)) < 0.1, per_run
+
+    # manifest so the artifact set is auditable without shipping ~1 GB
+    files = sorted(f for f in os.listdir(exp1_dir) if f.endswith(".npy"))
+    manifest = {}
+    for f in files:
+        h = hashlib.sha256()
+        with open(os.path.join(exp1_dir, f), "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        manifest[f] = h.hexdigest()[:16]
+    with open(os.path.join(exp1_dir, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=0, sort_keys=True)
+    print(json.dumps({"metric": "exp1_protocol_artifacts", "value": len(files),
+                      "unit": "npy_files", "manifest": os.path.join(exp1_dir, "MANIFEST.json")}),
+          flush=True)
+
+    if ref_figure:
+        run_reference_figure3(workdir, dest_root)
+
+
+def run_reference_figure3(session_dir, dest_dir):
+    """Execute the reference's figure_3.py VERBATIM on the protocol artifacts
+    (usetex/Agg flipped at runtime — configuration, not source edits)."""
+    import importlib.util
+
+    sys.path.insert(0, os.path.join(_ROOT, "tests"))
+    import refsys
+
+    refsys.import_reference_system()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    spec = importlib.util.spec_from_file_location(
+        "ref_figure_3", os.path.join(refsys.REF_DIR, "eval_steps", "figure_3.py"))
+    mod = importlib.util.module_from_spec(spec)
+    t0 = time.perf_counter()
+    spec.loader.exec_module(mod)
+    matplotlib.rcParams["text.usetex"] = False
+    np.random.seed(0)
+    mod.plot_figure_3(session_dir=session_dir, dest_dir=dest_dir)
+    png = os.path.join(dest_dir, "figure_3.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 10_000
+    print(json.dumps({"metric": "reference_figure3_verbatim_s",
+                      "value": round(time.perf_counter() - t0, 1), "unit": "s",
+                      "png_bytes": os.path.getsize(png)}), flush=True)
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--ref-figure"]
+    main(*args[:3], ref_figure="--ref-figure" in sys.argv)

@@ -296,7 +296,15 @@ def main(duration_s=60.0, n_channels=128, chunk_steps=1, sr=1024):
     # the relay RTT is a harness artifact, and a hard assert here made every
     # battery soak phase log a traceback despite its marker passing
     # (run_battery.sh greps '"no_loss": true' for exactly this reason).
-    if not criteria_ok and no_loss and queue_ok and not dispatch_fits_cadence:
+    # The waiver requires EVIDENCE of a relay (ADVICE r4): a hosted-relay
+    # backend name, or an explicit CLSS_ASSUME_RELAY=1 — on locally attached
+    # hardware a genuinely too-slow device keeps the hard assert.
+    import jax
+
+    relay_evidence = ("axon" in jax.default_backend().lower()
+                      or os.environ.get("CLSS_ASSUME_RELAY") == "1")
+    if (not criteria_ok and no_loss and queue_ok and not dispatch_fits_cadence
+            and relay_evidence):
         print("WARNING: criteria_ok=false only because per-dispatch wall "
               "exceeds the cadence through the relay (tunnel-bound); "
               "rerun with chunk_steps>=4 or on locally attached hardware.",

@@ -77,12 +77,23 @@ def perform_offline_decoding(loaded, eeg, sfreq, gl_norm, dtype=None, key=None,
     cfg, dec = _build_decoder(loaded, sfreq, eeg.shape[1], gl_norm, dtype=dtype)
     spec, audio = pipeline.offline_decode(dec, cfg, eeg[:, mask], key=key or jax.random.PRNGKey(0))
     if vocoder == "exact-host":
+        from jax import enable_x64
+
         from ..ops import griffinlim as gl_ops
         from ..ops.host_vocoder import decode_audio_exact
 
         spec_np = np.asarray(spec, np.float64)
-        rows = np.asarray(gl_ops.default_rand_init(
-            key or jax.random.PRNGKey(0), spec_np.shape[0] - 1, 0, jnp.float64))
+        # Byte-stability across backends: without x64 an accelerator session
+        # silently downcasts these phase inits to f32, making the "exact"
+        # output machine-dependent.  Force f64 generation on the CPU backend
+        # regardless of the session's global x64 state — identical bits to
+        # the documented CPU/x64 path.
+        with enable_x64():
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                rows = np.asarray(gl_ops.default_rand_init(
+                    key or jax.random.PRNGKey(0), spec_np.shape[0] - 1, 0,
+                    jnp.float64))
+        assert rows.dtype == np.float64
         audio = decode_audio_exact(spec_np, rows, norm_factor=float(gl_norm))
         logger.info("Exact-host vocoder: %d samples (reference-exact "
                     "emission grid)", len(audio))

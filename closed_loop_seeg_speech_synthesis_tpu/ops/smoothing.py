@@ -23,7 +23,9 @@ Two implementations:
   ``scipy.ndimage.gaussian_filter`` — property-tested in tests/test_ops.py)
   and the jitted pipeline performs a pure integer-index gather: no float
   arithmetic happens under XLA at all, so the decoded spectrogram matches
-  the reference system bit-for-bit.
+  the reference system bit-for-bit (direct bit-equality property test:
+  tests/test_ops.py::test_smooth_by_table_bit_equal_to_scipy; end-to-end:
+  tests/test_reference_system_oracle.py).
 """
 
 from __future__ import annotations

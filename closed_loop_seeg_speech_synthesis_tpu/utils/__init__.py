@@ -34,11 +34,18 @@ def honor_platform_env() -> None:
         return
     import jax
 
-    # keep the in-process CPU backend available alongside the selected
-    # accelerator (first entry stays the default backend): staging helpers
-    # (eval/exp1_batched.fold_targets) use it to avoid shipping large host
-    # arrays through a remote-device relay for trivially small compute
-    if "cpu" not in [p.strip() for p in plat.split(",")]:
+    # A trailing "!" (e.g. JAX_PLATFORMS='tpu!') pins EXACTLY the listed
+    # platforms — no cpu helper backend is appended, so accidental CPU
+    # fallback fails loudly (ADVICE r4).  The marker is stripped before jax
+    # sees the value (it is not valid platform syntax).
+    strict = plat.endswith("!")
+    plat = plat.rstrip("!")
+    os.environ["JAX_PLATFORMS"] = plat
+    # otherwise keep the in-process CPU backend available alongside the
+    # selected accelerator (first entry stays the default backend): staging
+    # helpers (eval/exp1_batched.fold_targets) use it to avoid shipping large
+    # host arrays through a remote-device relay for trivially small compute
+    if not strict and "cpu" not in [p.strip() for p in plat.split(",")]:
         plat = plat + ",cpu"
     try:
         jax.config.update("jax_platforms", plat)

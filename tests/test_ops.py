@@ -218,6 +218,29 @@ def test_gaussian_smooth_matches_scipy(rng):
         np.testing.assert_allclose(out[i], gaussian_filter(x[i], 0.5), rtol=1e-12, atol=1e-14)
 
 
+def test_smooth_by_table_bit_equal_to_scipy(rng):
+    """The exact-lattice path (exact_smooth_table + smooth_by_table) is
+    BIT-equal to scipy.ndimage.gaussian_filter on quantized inputs — the
+    property the docstring claims, including every edge bin, under jit."""
+    import jax
+    from scipy.ndimage import gaussian_filter
+
+    n_mel, K = 12, 9  # smaller n_mel keeps the K^5 table cheap; edges included
+    medians = np.sort(rng.randn(n_mel, K), axis=1)
+    pos, table = smoothing.exact_smooth_table(medians)
+    smooth = jax.jit(lambda lab: smoothing.smooth_by_table(
+        lab, jnp.asarray(pos), jnp.asarray(table), K))
+    labels = rng.randint(0, K, size=(64, n_mel))
+    # plus adversarial rows: constant, edge-heavy, alternating extremes
+    labels = np.vstack([labels, np.zeros((1, n_mel), int),
+                        np.full((1, n_mel), K - 1),
+                        np.tile([0, K - 1], n_mel)[:n_mel][None]])
+    got = np.asarray(smooth(jnp.asarray(labels, jnp.int32)))
+    for row, lab in zip(got, labels):
+        want = gaussian_filter(medians[np.arange(n_mel), lab], 0.5)
+        assert row.tobytes() == want.tobytes()
+
+
 # ------------------------------- stft / gl --------------------------------
 
 
