@@ -165,6 +165,14 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
     state = {"max_backlog": 0, "pulled": 0, "stall_total_s": 0.0, "stall_max_s": 0.0}
     pull_done = threading.Event()
     hb_stop = threading.Event()
+    rss_samples = []  # (t, MiB) every ~5 s — session-length leak evidence
+
+    def _rss_mib():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return float("nan")
 
     def heartbeat():
         """Scheduler-stall meter: a 2 ms ticker whose gaps measure how long
@@ -176,6 +184,8 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
         popped unfed, then arriving late into a bounded queue)."""
         period = cfg.packet_size / float(sr)
         last = time.perf_counter()
+        t_start = last
+        next_rss = last
         while not hb_stop.is_set():
             time.sleep(0.002)
             now = time.perf_counter()
@@ -184,6 +194,9 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
             if gap > period:
                 state["stall_total_s"] += gap - 0.002
                 state["stall_max_s"] = max(state["stall_max_s"], gap)
+            if now >= next_rss:
+                rss_samples.append((now - t_start, _rss_mib()))
+                next_rss = now + 5.0
 
     def puller():
         inlet = StreamInlet(stream_name, backend="nsx")
@@ -252,6 +265,18 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
         "queue_max_blocks": max_blocks,
         **audio_state,
     }
+    if len(rss_samples) >= 2:
+        # least-squares MiB/min slope over the run: the O(1) donated-carry
+        # claim means RSS must stay flat over session-length soaks
+        ts = np.asarray([s[0] for s in rss_samples])
+        rs = np.asarray([s[1] for s in rss_samples])
+        slope = float(np.polyfit(ts, rs, 1)[0]) * 60.0
+        metrics.update({
+            "rss_start_mib": round(float(rs[0]), 1),
+            "rss_end_mib": round(float(rs[-1]), 1),
+            "rss_slope_mib_per_min": round(slope, 3),
+            "rss_samples": len(rss_samples),
+        })
     return metrics
 
 

@@ -190,7 +190,8 @@ class Experiment1:
                     wavs[i] = audio_b[j]
         return np.vstack(recos), np.vstack(origs), np.hstack(wavs)
 
-    def proposed_method(self, nb_folds=10, batched=True, args=None):
+    def proposed_method(self, nb_folds=10, batched=True, args=None,
+                        fold_batch=10):
         # No silent sequential fallback: a swallowed device-path failure
         # masks regressions (and wouldn't catch silent corruption anyway —
         # a TPU vmap miscompile zeroed 4 of 10 folds without raising; the
@@ -203,7 +204,7 @@ class Experiment1:
             raise ValueError(
                 f"pre-staged args carry {len(args)} folds but nb_folds={nb_folds}")
         if batched:
-            reco, orig, decoded_audio = self._run_folds_batched(args)
+            reco, orig, decoded_audio = self._run_folds_batched(args, fold_batch=fold_batch)
         else:
             reco, orig, decoded_audio = self._run_folds(args)
         sr = 16000
@@ -228,7 +229,7 @@ class Experiment1:
 
     def chance_level_batched(self, nb_runs=100, nb_folds=10, batch_size=10,
                              dtype=jnp.float32, key=None, save=True, nb_feats=150,
-                             base_args=None):
+                             base_args=None, checkpoint_dir=None):
         """TPU fan-out of the chance estimation (SURVEY §7: the reference's
         most expensive loop, run serially there).
 
@@ -249,16 +250,38 @@ class Experiment1:
         key = key if key is not None else jax.random.PRNGKey(0)
 
         # per (run, fold) shift indices, host RNG like the reference
+        # (drawn upfront for ALL runs, so a checkpointed resume with the same
+        # seeded rng reproduces the identical shift stream)
         shifts = np.zeros((nb_runs, len(base_args)), np.int64)
         for i in range(nb_runs):
             for f, a in enumerate(base_args):
                 shifts[i, f] = self.rng.randint(0, len(a[1]))
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
 
         # one compiled runner per distinct fold shape (uniform KFold => one)
         runners = {}
         fold_recos = []  # per fold: (nb_runs, n_frames_fold, n_mel)
         origs = []
         for f, (k, x_train, y_train, x_test, y_test, eeg_sr, audio_sr, bad, norm) in enumerate(base_args):
+            ck = (os.path.join(checkpoint_dir, f"chance_fold_{f:02}_r{nb_runs}.npy")
+                  if checkpoint_dir else None)
+            if ck and os.path.exists(ck):
+                done = np.load(ck)
+                if done.shape[0] == nb_runs:  # a complete fold from a prior attempt
+                    logger.info("chance fold %d restored from checkpoint", f)
+                    fold_recos.append(done)
+                    origs.append(y_test)
+                    continue
+            # per-chunk checkpoints within the fold: a relay-worker crash
+            # mid-fold resumes at chunk granularity (batch_size runs), not
+            # by redoing the whole 100-run fold
+            chunk_cks = {}
+            if checkpoint_dir:
+                for start in range(0, nb_runs, batch_size):
+                    chunk_cks[start] = os.path.join(
+                        checkpoint_dir,
+                        f"chance_fold_{f:02}_c{start:03}_b{batch_size}_r{nb_runs}.npy")
             mask = np.ones(x_train.shape[1], bool)
             if len(bad):
                 mask[np.asarray(bad, int)] = False
@@ -276,11 +299,23 @@ class Experiment1:
             q_d, med_d, ym_d = jnp.asarray(q), jnp.asarray(medians, dtype), jnp.asarray(y_mean, dtype)
             outs = []
             for start in range(0, nb_runs, batch_size):
+                cck = chunk_cks.get(start)
+                if cck and os.path.exists(cck):
+                    outs.append(np.load(cck))
+                    continue
                 idx = shifts[start : start + batch_size, f]
                 sub = jax.random.fold_in(key, f * 100003 + start)
-                outs.append(np.asarray(runner(xt, xe, q_d, ym_d, med_d, jnp.asarray(idx, jnp.int32), sub)))
+                out = np.asarray(runner(xt, xe, q_d, ym_d, med_d, jnp.asarray(idx, jnp.int32), sub))
+                if cck:
+                    np.save(cck, out)
+                outs.append(out)
             fold_recos.append(np.concatenate(outs, axis=0))
             origs.append(y_test)
+            if ck:
+                np.save(ck, fold_recos[-1])
+                for cck in chunk_cks.values():
+                    if os.path.exists(cck):
+                        os.remove(cck)
         orig = np.vstack(origs)
 
         corrs = []

@@ -31,12 +31,15 @@ def figure_3(exp_dir, out_path, n_chance_runs=100, n_top_examples=5):
     orig = np.load(os.path.join(exp_dir, "orig.npy"))
     reco = np.load(os.path.join(exp_dir, "pm_reco.npy"))
 
-    # top trials by mean Pearson over 200-frame (2 s) trial spans
-    n_trials = len(orig) // 300
+    # top trials by mean Pearson over 200-frame (2 s) trial spans; the
+    # stride-300 iteration INCLUDES a trailing partial trial exactly like
+    # figure_3.py:41 (range(0, len(orig), 300))
+    starts = list(range(0, len(orig), 300))
     scores = []
-    for i in range(n_trials):
-        sl = slice(i * 300, i * 300 + 200)
-        scores.append(np.nanmean(pearson_per_bin(orig[sl], reco[sl])))
+    for s in starts:
+        a, b = orig[s : s + 200], reco[s : s + 200]
+        n = min(len(a), len(b))
+        scores.append(np.nanmean(pearson_per_bin(a[:n], b[:n])))
     top = np.argsort(scores)[-n_top_examples:][::-1]
 
     rs_pm = _fold_corrs(orig, reco)

@@ -70,6 +70,68 @@ def test_chance_level_batched_api(session, tmp_path):
     assert np.isfinite(means).any()
 
 
+def test_chance_level_checkpoint_resume(session, tmp_path, monkeypatch):
+    """Crash-resume parity of the protocol checkpointing: a run that dies
+    mid-fold (relay-worker crash, benchmarks/exp1_protocol.py) resumes from
+    the per-chunk checkpoints and returns EXACTLY the clean run's result
+    (the shift stream is drawn upfront from the seeded rng, so a fresh
+    process re-derives identical chunks)."""
+    from closed_loop_seeg_speech_synthesis_tpu.eval import exp1_batched
+
+    cfg = configparser.ConfigParser()
+    cfg["Experiment1"] = {"griffin_lim_norm": "10"}
+
+    def run(ck=None, fail_after=None):
+        e = exp1_mod.Experiment1(cfg, session, str(tmp_path),
+                                 rng=np.random.RandomState(7))
+        if fail_after is not None:
+            real_make = exp1_batched.make_chance_runner
+            calls = {"n": 0}
+
+            def flaky_make(*a, **kw):
+                runner, n_frames = real_make(*a, **kw)
+
+                def flaky_runner(*ra):
+                    calls["n"] += 1
+                    if calls["n"] > fail_after:
+                        raise RuntimeError("simulated TPU worker crash")
+                    return runner(*ra)
+
+                return flaky_runner, n_frames
+
+            monkeypatch.setattr(exp1_batched, "make_chance_runner", flaky_make)
+            try:
+                return e.chance_level_batched(nb_runs=4, nb_folds=2, batch_size=2,
+                                              dtype=jnp.float64, save=False,
+                                              nb_feats=10, checkpoint_dir=ck)
+            finally:
+                monkeypatch.setattr(exp1_batched, "make_chance_runner", real_make)
+        return e.chance_level_batched(nb_runs=4, nb_folds=2, batch_size=2,
+                                      dtype=jnp.float64, save=False,
+                                      nb_feats=10, checkpoint_dir=ck)
+
+    clean_means, clean_stds = run()
+
+    ck = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="simulated TPU worker crash"):
+        run(ck=ck, fail_after=1)  # dies after 1 of 4 chunk calls
+    import os
+
+    assert any(f.startswith("chance_fold_00_c") for f in os.listdir(ck))
+
+    means, stds = run(ck=ck)  # resume: restores chunk 0, computes the rest
+    np.testing.assert_array_equal(means, clean_means)
+    np.testing.assert_array_equal(stds, clean_stds)
+    # completed folds collapse to per-fold files; chunk files are cleaned
+    names = os.listdir(ck)
+    assert sorted(n for n in names if "_c" not in n) == [
+        "chance_fold_00_r4.npy", "chance_fold_01_r4.npy"]
+    assert not any("_c0" in n for n in names)
+
+    means3, _ = run(ck=ck)  # pure restore, no device work
+    np.testing.assert_array_equal(means3, clean_means)
+
+
 def test_batched_proposed_matches_sequential(session, tmp_path):
     """Vmapped proposed-fold sweep == sequential per-fold retrain+decode
     (spectrograms; GL audio uses independent keys and is checked for shape)."""
