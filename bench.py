@@ -203,6 +203,22 @@ def main():
     except Exception as e:  # keep the headline metric robust to relay hiccups
         latency = {"latency_error": str(e)[:120]}
 
+    # Recorded-dataset embeds: metrics too long to re-run inside bench (the
+    # 100x10 exp1 protocol, quiet-window latency datasets, long soaks) are
+    # recorded once into benchmarks/recorded/*.json; embedding them here puts
+    # them in the driver-captured BENCH_r*.json line.
+    recorded = {}
+    rec_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "recorded")
+    if os.path.isdir(rec_dir):
+        for fn in sorted(os.listdir(rec_dir)):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(rec_dir, fn)) as f:
+                        recorded[fn[:-5]] = json.load(f)
+                except (OSError, ValueError):
+                    pass
+
     print(json.dumps({
         "metric": f"offline_replay_xrt_{n_channels}ch{sr_tag}",
         "value": round(xrt, 1),
@@ -221,6 +237,7 @@ def main():
             "gate": "single-fetch packed (benchmarks/gate.py)",
         },
         **latency,
+        **({"recorded": recorded} if recorded else {}),
     }))
 
 
