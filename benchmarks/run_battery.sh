@@ -41,7 +41,14 @@ phase matrix256    4800 matrix_policy_256ch         python -m benchmarks.sweeps 
 # without refuting the decoder), so its criteria-bearing marker is no_loss
 phase soak         900  '"no_loss": true'           python benchmarks/soak.py 60 128
 phase soak_k4      900  '"criteria_ok": true'       python benchmarks/soak.py 60 128 4
+phase soak_k4_256  900  '"criteria_ok": true'       python benchmarks/soak.py 60 256 4
+phase lat_quiet    2400 '"meets_budget": true'      python -m benchmarks.latency_quiet 128 10 80
+phase lat_quiet_2048 2400 '"meets_budget": true'    env CLSS_BENCH_SR=2048 python -m benchmarks.latency_quiet 128 10 80
+phase lat_quiet_256  2400 '"meets_budget": true'    python -m benchmarks.latency_quiet 256 10 80
 phase exp1_ab      10800 exp1_ab_speedup            python benchmarks/exp1_ab.py /tmp/exp1_ab 3
+# the reference's full 100-run chance protocol; chunk-checkpointed, so the
+# retry resumes instead of restarting (~2 h of lax.map retrain+decode lanes)
+phase exp1_protocol 10800 exp1_protocol_artifacts   python benchmarks/exp1_protocol.py /tmp/exp1_protocol 128 100
 phase eval_full    7200 eval_full_figures_s         python benchmarks/eval_full.py /tmp/eval_full
 phase vmap_repro   3600 verdict                     python tools/vmap_miscompile_repro.py --mode vmap --lanes 6 --train-s 270 --channels 64
 phase native_scan  1200 xdf_native_scan_speedup                 python benchmarks/native_scan.py
