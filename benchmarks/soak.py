@@ -277,6 +277,14 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
             "rss_slope_mib_per_min": round(slope, 3),
             "rss_samples": len(rss_samples),
         })
+        # steady-state slope over the second half: the whole-run fit is
+        # dominated by one-time warmup growth (compile caches, buffer pools)
+        # on short runs; leak evidence for session-length soaks is the slope
+        # after allocation has settled
+        half = len(ts) // 2
+        if len(ts) - half >= 3:
+            ss = float(np.polyfit(ts[half:], rs[half:], 1)[0]) * 60.0
+            metrics["rss_steady_slope_mib_per_min"] = round(ss, 3)
     return metrics
 
 
