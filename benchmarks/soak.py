@@ -291,6 +291,13 @@ def run_soak(duration_s=60.0, sr=1024, n_channels=16, dtype=None,
 def main(duration_s=60.0, n_channels=128, chunk_steps=1, sr=1024):
     from closed_loop_seeg_speech_synthesis_tpu.utils import honor_platform_env
     honor_platform_env()
+    wd = float(os.environ.get("CLSS_SOAK_WATCHDOG", "0"))
+    if wd:
+        # hang diagnosis on remote-dispatch backends: dump every thread's
+        # stack to stderr every `wd` seconds until the run completes
+        import faulthandler
+
+        faulthandler.dump_traceback_later(wd, repeat=True, exit=False)
     m = run_soak(float(duration_s), sr=int(sr), n_channels=int(n_channels),
                  chunk_steps=int(chunk_steps))
     # criteria evaluated BEFORE the JSON line so the verdict is part of the
